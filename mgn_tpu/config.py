@@ -1,0 +1,70 @@
+"""Framework configuration.
+
+``Args`` mirrors the reference's config struct field-for-field
+(/root/reference/src/MeshGraphNets.jl:35-57) plus the TPU-specific knobs the
+reference lacks, and fixes its documented gaps: ``batchsize`` is actually
+implemented (data parallelism), the inflow node types are configurable (the
+reference hardcodes ``node_type == 1`` at /root/reference/src/MeshGraphNets.jl:593),
+and RNG seeds are exposed (the reference pins ``seed!(1234)``,
+/root/reference/src/dataset.jl:90).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+from mgn_tpu.train.strategies import DerivativeTraining, TrainingStrategy
+
+__all__ = ["Args"]
+
+
+@dataclasses.dataclass
+class Args:
+    # --- model (reference defaults) ---
+    mps: int = 15
+    layer_size: int = 128
+    hidden_layers: int = 2
+
+    # --- training schedule ---
+    batchsize: int = 1  # implemented via data parallelism (reference: accepted but unused)
+    epochs: int = 1
+    steps: int = 10_000_000
+    checkpoint: int = 10_000
+    norm_steps: int = 1000  # steps of normalizer warmup before optimizer updates
+    max_norm_steps: float = 10e6  # online-normalizer accumulation cap
+
+    # --- node-type semantics ---
+    types_updated: Tuple[int, ...] = (0, 5)
+    types_noisy: Tuple[int, ...] = (0,)
+    types_inflow: Tuple[int, ...] = (1,)  # configurable (hardcoded in reference)
+
+    # --- strategy / evaluation ---
+    training_strategy: TrainingStrategy = dataclasses.field(
+        default_factory=DerivativeTraining
+    )
+    num_rollouts: int = 10
+    use_valid: bool = True
+    solver_valid: str = "tsit5_adaptive"  # any FIXED_METHODS name or 'tsit5_adaptive'
+    solver_valid_dt: Optional[float] = None
+    reset_valid: bool = False
+
+    # --- reproducibility ---
+    seed: int = 1234
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
+    aggregation_backend: Optional[str] = None  # None='auto' | 'xla' | 'pallas'
+    node_bucket_multiple: int = 128
+    edge_bucket_multiple: int = 128
+    data_axis: str = "data"  # device-mesh axis for trajectory batching
+    graph_axis: str = "graph"  # device-mesh axis for edge partitioning
+    prefetch: int = 2
+
+    # --- logging ---
+    wandb_logger: Any = None  # optional; structured JSONL metrics are native
+    log_every: int = 100
+
+    def model_dims(self) -> dict:
+        return dict(latent_size=self.layer_size, hidden_layers=self.hidden_layers,
+                    message_passing_steps=self.mps)

@@ -1,0 +1,337 @@
+"""Static-shape graph containers and feature builders.
+
+TPU-first redesign of the reference's graph layer (see
+/root/reference/src/graph.jl:25-97 for the behavior being covered): the
+reference builds a per-trajectory `FeatureGraph` with dynamically sized edge
+lists; XLA requires static shapes, so every graph here is padded to a bucketed
+(num_nodes, num_edges) capacity and carries validity masks.  Layout is
+node-major ``(N, F)`` (features on the TPU lane dimension) rather than the
+reference's ``(F, N)``.
+
+Host-side connectivity construction (triangles -> edges, grid meshes, explicit
+edge lists) is NumPy; everything per-step runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = [
+    "MeshGraph",
+    "GraphTemplate",
+    "one_hot",
+    "cells_to_edges",
+    "triangles_to_edges",
+    "parse_edges",
+    "grid_edges",
+    "sort_edges_by_receiver",
+    "csr_row_offsets",
+    "relative_mesh_features",
+    "pad_to",
+    "bucket_size",
+    "build_template",
+    "build_world_edges",
+]
+
+
+class MeshGraph(struct.PyTreeNode):
+    """A batch-of-one simulation graph with padded, static shapes.
+
+    Equivalent role to GraphNetCore's ``FeatureGraph`` (call sites at
+    /root/reference/src/graph.jl:87-96) but with masks for padding.
+    """
+
+    node_features: jax.Array  # (N_pad, F_n) float
+    edge_features: jax.Array  # (E_pad, F_e) float
+    senders: jax.Array  # (E_pad,) int32
+    receivers: jax.Array  # (E_pad,) int32
+    node_mask: jax.Array  # (N_pad,) bool — True for real nodes
+    edge_mask: jax.Array  # (E_pad,) bool — True for real edges
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_features.shape[0]
+
+
+class GraphTemplate(struct.PyTreeNode):
+    """Per-trajectory static graph structure.
+
+    Built once per trajectory (the analogue of ``create_base_graph``,
+    /root/reference/src/graph.jl:25-55): one-hot node types, connectivity
+    (sorted by receiver so aggregation kernels can use a CSR layout), and the
+    mesh-space edge features ``[rel_pos; |rel_pos|]``.
+    """
+
+    node_type_onehot: jax.Array  # (N_pad, T) float32
+    mesh_edge_features: jax.Array  # (E_pad, D+1) float32
+    senders: jax.Array  # (E_pad,) int32, edges sorted by receiver
+    receivers: jax.Array  # (E_pad,) int32, nondecreasing over real edges
+    row_offsets: jax.Array  # (N_pad+1,) int32 CSR offsets into edges
+    node_mask: jax.Array  # (N_pad,) bool
+    edge_mask: jax.Array  # (E_pad,) bool
+    node_type: jax.Array  # (N_pad,) int32 raw node type (padded with -1)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_type_onehot.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+def one_hot(values: jax.Array, depth: int, offset: int = 0) -> jax.Array:
+    """Int vector -> one-hot matrix ``(N, depth)``.
+
+    Same semantics as GraphNetCore's ``one_hot(vec, depth, offset)`` used at
+    /root/reference/src/graph.jl:26-27, except 0-based and node-major.
+    ``values + offset`` indexes the hot column.
+    """
+    return jax.nn.one_hot(values + offset, depth, dtype=jnp.float32)
+
+
+def cells_to_edges(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell connectivity (C, K) -> unique bidirectional edge lists (0-based).
+
+    Generalizes the reference's triangle-only path
+    (/root/reference/src/graph.jl:30, GraphNetCore ``triangles_to_edges``):
+    every pair of vertices within a cell becomes an undirected edge; the
+    result contains both directions of each unique undirected edge.  Works for
+    segments (K=2), triangles (K=3), quads/tets (K=4), ...
+    """
+    cells = np.asarray(cells)
+    if cells.ndim != 2:
+        raise ValueError(f"cells must be (num_cells, K), got {cells.shape}")
+    k = cells.shape[1]
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pairs.append(cells[:, [i, j]])
+    edges = np.concatenate(pairs, axis=0).astype(np.int64)
+    # canonical undirected form, dedupe, then emit both directions
+    lo = edges.min(axis=1)
+    hi = edges.max(axis=1)
+    und = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    senders = np.concatenate([und[:, 0], und[:, 1]])
+    receivers = np.concatenate([und[:, 1], und[:, 0]])
+    return senders.astype(np.int32), receivers.astype(np.int32)
+
+
+def triangles_to_edges(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Triangle cells (C, 3) -> bidirectional edges. See ``cells_to_edges``."""
+    return cells_to_edges(cells)
+
+
+def parse_edges(edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Explicit edge array (E, 2) (or (2, E)) -> bidirectional edge lists.
+
+    Covers GraphNetCore ``parse_edges`` call site /root/reference/src/graph.jl:38.
+    """
+    edges = np.asarray(edges)
+    if edges.ndim != 2:
+        raise ValueError(f"edges must be 2-D, got {edges.shape}")
+    if edges.shape[0] == 2 and edges.shape[1] != 2:
+        edges = edges.T
+    return cells_to_edges(edges)
+
+
+def grid_edges(
+    dims: Sequence[int],
+    node_type: Optional[np.ndarray] = None,
+    no_edges_node_types: Sequence[int] = (),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Structured-grid nearest-neighbor edges for 1-D/2-D/3-D grids.
+
+    The reference supports 1-D chains and 3-D 6-neighborhoods and throws for
+    2-D (/root/reference/src/dataset.jl:379-413); we support all three.
+    Nodes whose type is in ``no_edges_node_types`` get no incident grid edges
+    (they receive a self-loop so they are not isolated, mirroring the
+    reference's placeholder behavior at /root/reference/src/dataset.jl:392-404).
+    """
+    dims = [int(d) for d in dims if int(d) > 1] or [1]
+    n = int(np.prod(dims))
+    idx = np.arange(n).reshape(dims)
+    pairs = []
+    for axis in range(len(dims)):
+        a = np.take(idx, np.arange(dims[axis] - 1), axis=axis).reshape(-1)
+        b = np.take(idx, np.arange(1, dims[axis]), axis=axis).reshape(-1)
+        pairs.append(np.stack([a, b], axis=1))
+    edges = np.concatenate(pairs, axis=0)
+    if node_type is not None and len(no_edges_node_types) > 0:
+        node_type = np.asarray(node_type).reshape(-1)
+        excluded = np.isin(node_type, np.asarray(list(no_edges_node_types)))
+        keep = ~(excluded[edges[:, 0]] | excluded[edges[:, 1]])
+        edges = edges[keep]
+        loops = np.nonzero(excluded)[0]
+        if loops.size:
+            edges = np.concatenate([edges, np.stack([loops, loops], axis=1)], axis=0)
+    return cells_to_edges(edges)
+
+
+def sort_edges_by_receiver(
+    senders: np.ndarray, receivers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stable-sort edge lists by receiver (CSR-friendly for scatter-add)."""
+    order = np.argsort(receivers, kind="stable")
+    return senders[order].astype(np.int32), receivers[order].astype(np.int32)
+
+
+def csr_row_offsets(receivers: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Row offsets (num_nodes+1,) for receiver-sorted edges."""
+    counts = np.bincount(receivers, minlength=num_nodes)
+    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+
+def relative_mesh_features(
+    mesh_pos: np.ndarray, senders: np.ndarray, receivers: np.ndarray
+) -> np.ndarray:
+    """Mesh-space edge features ``[pos_s - pos_r, |pos_s - pos_r|]`` (E, D+1).
+
+    Semantics of /root/reference/src/graph.jl:35-52 (node-major layout).
+    """
+    mesh_pos = np.asarray(mesh_pos, dtype=np.float32)
+    rel = mesh_pos[senders] - mesh_pos[receivers]
+    norm = np.linalg.norm(rel, axis=1, keepdims=True)
+    return np.concatenate([rel, norm], axis=1).astype(np.float32)
+
+
+def bucket_size(n: int, multiple: int = 128, slack: float = 1.0) -> int:
+    """Round ``n * slack`` up to a multiple; caps XLA recompiles across
+    trajectories with ragged sizes."""
+    target = int(np.ceil(n * slack))
+    return int(-(-target // multiple) * multiple)
+
+
+def pad_to(arr: np.ndarray, size: int, fill=0) -> np.ndarray:
+    """Pad axis 0 of ``arr`` to ``size`` with ``fill``."""
+    if arr.shape[0] > size:
+        raise ValueError(f"cannot pad {arr.shape[0]} down to {size}")
+    if arr.shape[0] == size:
+        return arr
+    pad = np.full((size - arr.shape[0],) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def build_template(
+    mesh_pos: np.ndarray,
+    node_type: np.ndarray,
+    cells: Optional[np.ndarray] = None,
+    edges: Optional[np.ndarray] = None,
+    type_min: int = 0,
+    type_max: int = 6,
+    node_bucket: Optional[int] = None,
+    edge_bucket: Optional[int] = None,
+    bucket_multiple: int = 128,
+) -> GraphTemplate:
+    """Build the per-trajectory static graph structure (host-side).
+
+    The analogue of ``create_base_graph`` (/root/reference/src/graph.jl:25-55):
+    one-hot node types + connectivity + mesh-relative edge features — plus the
+    TPU-specific sorting/padding/CSR metadata.  Accepts 0- or 1-based
+    connectivity (1-based inputs, as in Julia-exported data, are detected by
+    max index == num_nodes together with no 0 index and shifted down; matches
+    the reference's 0->1 fixup in reverse, /root/reference/src/graph.jl:31-34).
+    """
+    mesh_pos = np.asarray(mesh_pos, dtype=np.float32)
+    node_type = np.asarray(node_type).reshape(-1).astype(np.int32)
+    n = mesh_pos.shape[0]
+    if node_type.shape[0] != n:
+        raise ValueError(f"mesh_pos has {n} nodes but node_type has {node_type.shape[0]}")
+
+    if cells is not None:
+        conn = np.asarray(cells)
+        if conn.min() == 1 and conn.max() == n:
+            conn = conn - 1
+        senders, receivers = cells_to_edges(conn)
+    elif edges is not None:
+        conn = np.asarray(edges)
+        if conn.min() == 1 and conn.max() == n:
+            conn = conn - 1
+        senders, receivers = parse_edges(conn)
+    else:
+        raise ValueError("need cells or edges to build graph connectivity")
+
+    senders, receivers = sort_edges_by_receiver(senders, receivers)
+    e = senders.shape[0]
+
+    n_pad = node_bucket or bucket_size(n + 1, bucket_multiple)
+    if n_pad <= n:
+        raise ValueError("node bucket must leave at least one padded slot")
+    e_pad = edge_bucket or bucket_size(e, bucket_multiple)
+
+    # Padded (dead) edges point at the last padded node so real nodes never
+    # receive garbage, and receiver-sortedness is preserved.
+    senders_p = pad_to(senders, e_pad, fill=n_pad - 1)
+    receivers_p = pad_to(receivers, e_pad, fill=n_pad - 1)
+    row = csr_row_offsets(receivers, n)
+    row_offsets = np.concatenate(
+        [row, np.full((n_pad - n,), e, dtype=np.int32)]
+    ).astype(np.int32)
+    row_offsets[-1] = e_pad  # dead edges all land on the final padded node
+
+    onehot = np.zeros((n_pad, type_max - type_min + 1), dtype=np.float32)
+    onehot[np.arange(n), node_type - type_min] = 1.0
+
+    mef = relative_mesh_features(mesh_pos, senders, receivers)
+    mef = pad_to(mef, e_pad, fill=0)
+
+    return GraphTemplate(
+        node_type_onehot=jnp.asarray(onehot),
+        mesh_edge_features=jnp.asarray(mef),
+        senders=jnp.asarray(senders_p),
+        receivers=jnp.asarray(receivers_p),
+        row_offsets=jnp.asarray(row_offsets),
+        node_mask=jnp.asarray(np.arange(n_pad) < n),
+        edge_mask=jnp.asarray(np.arange(e_pad) < e),
+        node_type=jnp.asarray(pad_to(node_type, n_pad, fill=-1)),
+    )
+
+
+def build_world_edges(
+    world_pos: jax.Array,
+    node_mask: jax.Array,
+    radius: float,
+    capacity: int,
+    exclude_senders: Optional[jax.Array] = None,
+    exclude_receivers: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """On-device dynamic world-edge construction (cloth / contact models).
+
+    New capability vs the reference (which has no world edges; DeepMind's
+    flag/cloth models build them per step by radius query).  TPU-native
+    approach: dense N^2 pairwise distances (MXU-friendly), threshold by
+    ``radius``, compact the hits into a fixed ``capacity`` edge buffer with a
+    cumsum-based scatter so shapes stay static.
+
+    Returns (senders, receivers, mask) each of shape (capacity,).
+    """
+    n = world_pos.shape[0]
+    d2 = jnp.sum(
+        (world_pos[:, None, :] - world_pos[None, :, :]) ** 2, axis=-1
+    )  # (N, N)
+    valid = node_mask[:, None] & node_mask[None, :]
+    hit = (d2 < radius * radius) & valid & ~jnp.eye(n, dtype=bool)
+    if exclude_senders is not None:
+        # mask out existing mesh edges (senders/receivers index pairs)
+        hit = hit.at[exclude_senders, exclude_receivers].set(False)
+    flat = hit.reshape(-1)
+    # stable compaction of hit indices into the fixed-capacity buffer
+    pos = jnp.cumsum(flat) - 1  # position for each hit
+    slot = jnp.where(flat & (pos < capacity), pos, capacity)
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), n)
+    dst = jnp.tile(jnp.arange(n, dtype=jnp.int32), n)
+    senders = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(src, mode="drop")
+    receivers = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(dst, mode="drop")
+    count = jnp.minimum(jnp.sum(flat), capacity)
+    mask = jnp.arange(capacity) < count
+    return senders[:capacity], receivers[:capacity], mask

@@ -1,0 +1,129 @@
+"""Synthetic dataset generation (tests, benchmarks, examples).
+
+Produces cylinder-flow-shaped datasets — triangulated 2-D channel mesh with
+inflow/outflow/wall node types and a smooth traveling-wave velocity field — in
+the same on-disk contract the real datasets use (meta.json + train/valid/test
+HDF5 with one group per trajectory).  Node-type conventions follow the
+reference example (types_updated=[0,5], inflow type 1:
+/root/reference/src/MeshGraphNets.jl:45, :593).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+from scipy.spatial import Delaunay
+
+__all__ = ["make_channel_mesh", "make_trajectory", "write_synthetic_dataset",
+           "synthetic_meta"]
+
+
+def make_channel_mesh(num_nodes: int, seed: int = 0):
+    """Random triangulated unit channel [0,2]x[0,1] with boundary node types.
+
+    Returns (mesh_pos (N,2) f32, cells (C,3) i32, node_type (N,) i32):
+    type 1 = inflow (x==0), 5 = outflow (x==2), 6 = wall (y boundary),
+    0 = interior fluid.
+    """
+    rng = np.random.default_rng(seed)
+    n_side = max(4, int(np.sqrt(num_nodes / 2)))
+    # structured boundary + jittered interior for a valid triangulation
+    xs = np.linspace(0, 2, 2 * n_side)
+    ys = np.linspace(0, 1, n_side)
+    bound = np.concatenate([
+        np.stack([xs, np.zeros_like(xs)], 1),
+        np.stack([xs, np.ones_like(xs)], 1),
+        np.stack([np.zeros(n_side - 2), ys[1:-1]], 1),
+        np.stack([np.full(n_side - 2, 2.0), ys[1:-1]], 1),
+    ])
+    n_int = max(0, num_nodes - len(bound))
+    interior = rng.random((n_int, 2)) * [1.96, 0.96] + [0.02, 0.02]
+    pos = np.concatenate([bound, interior], 0).astype(np.float32)
+    tri = Delaunay(pos)
+    cells = tri.simplices.astype(np.int32)
+    node_type = np.zeros(len(pos), np.int32)
+    node_type[np.abs(pos[:, 1]) < 1e-6] = 6
+    node_type[np.abs(pos[:, 1] - 1) < 1e-6] = 6
+    node_type[np.abs(pos[:, 0] - 2) < 1e-6] = 5
+    node_type[np.abs(pos[:, 0]) < 1e-6] = 1
+    return pos, cells, node_type
+
+
+def make_trajectory(
+    mesh_pos: np.ndarray, node_type: np.ndarray, tl: int, dt: float, seed: int = 0
+) -> np.ndarray:
+    """Smooth traveling-wave velocity field (T, N, 2), zero on walls."""
+    rng = np.random.default_rng(seed)
+    phase = rng.random() * 2 * np.pi
+    speed = 0.5 + rng.random()
+    x, y = mesh_pos[:, 0], mesh_pos[:, 1]
+    t = np.arange(tl, dtype=np.float32)[:, None] * dt
+    profile = 4 * y * (1 - y)  # parabolic channel profile
+    u = profile[None, :] * (1.0 + 0.3 * np.sin(2 * np.pi * (x[None, :] - speed * t) + phase))
+    v = 0.1 * profile[None, :] * np.cos(2 * np.pi * (x[None, :] - speed * t) + phase)
+    vel = np.stack([u, v], axis=-1).astype(np.float32)
+    vel[:, node_type == 6] = 0.0
+    return vel
+
+
+def synthetic_meta(tl: int, n_train: int, n_valid: int, dt: float = 0.01) -> Dict:
+    """meta.json matching the cylinder_flow example schema
+    (/root/reference/examples/cylinder_flow/meta.json)."""
+    return {
+        "dt": dt,
+        "trajectory_length": tl,
+        "n_trajectories": n_train,
+        "n_trajectories_valid": n_valid,
+        "dims": 2,
+        "feature_names": ["cells", "mesh_pos", "node_type", "velocity"],
+        "target_features": ["velocity"],
+        "features": {
+            "cells": {"type": "static", "dim": 3, "shape": [1, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "dim": 2, "shape": [1, -1, 2],
+                         "dtype": "float32"},
+            "node_type": {"type": "static", "dim": 1, "shape": [1, -1, 1],
+                          "dtype": "int32", "onehot": True,
+                          "data_min": 0, "data_max": 6},
+            "velocity": {"type": "dynamic", "dim": 2, "shape": [tl, -1, 2],
+                         "dtype": "float32"},
+        },
+    }
+
+
+def write_synthetic_dataset(
+    path: str,
+    num_nodes: int = 256,
+    tl: int = 50,
+    n_train: int = 4,
+    n_valid: int = 2,
+    n_test: int = 2,
+    dt: float = 0.01,
+    seed: int = 0,
+) -> Dict:
+    """Write meta.json + train/valid/test .h5 files; returns the meta dict.
+
+    All trajectories share one mesh (like the fixed-topology datasets); each
+    gets an independent flow field.
+    """
+    os.makedirs(path, exist_ok=True)
+    pos, cells, node_type = make_channel_mesh(num_nodes, seed)
+    meta = synthetic_meta(tl, n_train, n_valid, dt)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    splits = {"train": n_train, "valid": n_valid, "test": n_test}
+    k = 0
+    for split, n in splits.items():
+        with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
+            for i in range(n):
+                g = f.create_group(str(i))
+                g["cells"] = cells
+                g["mesh_pos"] = pos
+                g["node_type"] = node_type[:, None]
+                g["velocity"] = make_trajectory(pos, node_type, tl, dt, seed + 1000 + k)
+                k += 1
+    return meta

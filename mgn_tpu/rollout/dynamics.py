@@ -1,0 +1,69 @@
+"""The learned ODE right-hand side du/dt = MGN(u, mesh).
+
+Functional equivalent of the reference's ODE core
+(/root/reference/src/solve.jl:101-219): unpack the state slab into target
+fields, merge with the frozen non-target inputs, assemble the normalized
+graph, run the network, de-normalize each output block, zero non-updated
+node types, and (for forced variants) overwrite inflow nodes with ground
+truth at the enclosing frame.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mgn_tpu.core.graph import GraphTemplate
+from mgn_tpu.models.mgn import MGNConfig, apply_mgn
+from mgn_tpu.train.common import FieldSpec, NormState, assemble_graph, unpack_fields
+
+__all__ = ["make_deriv_fn"]
+
+
+def make_deriv_fn(
+    params: Any,
+    model_cfg: MGNConfig,
+    norm: NormState,
+    template: GraphTemplate,
+    spec: FieldSpec,
+    non_target_inputs: Dict[str, jax.Array],
+    val_mask: jax.Array,  # (N_pad,) float — nodes whose du is applied
+    inflow_mask: Optional[jax.Array] = None,  # (N_pad,) bool
+    forcing_data: Optional[jax.Array] = None,  # (T, N_pad, F_out) ground truth
+    forcing_dt: Optional[jax.Array] = None,  # save interval of forcing_data
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Build ``deriv(y, t) -> du`` over the packed state slab (N_pad, F_out).
+
+    - non-target dynamic fields stay frozen at their initial values, as in the
+      reference (``inputs`` built from the initial state,
+      /root/reference/src/solve.jl:49-52, :192-196);
+    - inflow forcing: nodes in ``inflow_mask`` are overwritten with ground
+      truth at frame ``floor(t / forcing_dt)``
+      (/root/reference/src/solve.jl:105-108, :151-152);
+    - output: per-field de-normalized network output, masked by ``val_mask``
+      (/root/reference/src/solve.jl:205-218).
+    """
+
+    def deriv(y: jax.Array, t: jax.Array) -> jax.Array:
+        if forcing_data is not None:
+            idx = jnp.clip(
+                jnp.floor(t / forcing_dt + 1e-4).astype(jnp.int32),
+                0,
+                forcing_data.shape[0] - 1,
+            )
+            gt = jax.lax.dynamic_index_in_dim(forcing_data, idx, 0, keepdims=False)
+            y = jnp.where(inflow_mask[:, None], gt, y)
+        values = dict(non_target_inputs)
+        values.update(unpack_fields(y, spec))
+        graph = assemble_graph(norm, template, values, spec)
+        out = apply_mgn(params, graph, model_cfg, row_offsets=template.row_offsets)
+        parts = [
+            norm.output[f].inverse(out[:, sl])
+            for f, sl in zip(spec.target_fields, spec.target_slices())
+        ]
+        du = jnp.concatenate(parts, axis=-1)
+        return du * val_mask[:, None]
+
+    return deriv

@@ -1,0 +1,205 @@
+"""ODE integrators, written natively over lax.scan / lax.while_loop.
+
+The reference delegates integration to OrdinaryDiffEq.jl solvers
+(/root/reference/src/solve.jl:42-68: fixed-dt or adaptive `solve` with
+``saveat``/``tstops``).  TPU-native equivalents:
+
+- fixed-step **Euler**, **Heun**, **RK4**, and **Tsit5** (fixed) as `lax.scan`
+  loops — differentiable, `jax.checkpoint`-remat'd per step so
+  backprop-through-the-solver training (SolverTraining) is the discrete-adjoint
+  analogue of the reference's checkpointed InterpolatingAdjoint
+  (/root/reference/src/strategies.jl:247-255);
+- **adaptive Tsit5** with a PI step-size controller under `lax.while_loop`,
+  stepping exactly onto every save point (the role of ``tstops``), for
+  evaluation-time rollouts.
+
+All integrators save the state at ``saveat`` times (uniform grid) and return
+``(T_save, ...)`` stacked states.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FIXED_METHODS", "odeint_fixed", "odeint_tsit5_adaptive"]
+
+
+# --- Butcher tableaus (fixed-step) ------------------------------------------
+
+def _euler_step(f, y, t, dt):
+    return y + dt * f(y, t)
+
+
+def _heun_step(f, y, t, dt):
+    k1 = f(y, t)
+    k2 = f(y + dt * k1, t + dt)
+    return y + dt * 0.5 * (k1 + k2)
+
+
+def _rk4_step(f, y, t, dt):
+    k1 = f(y, t)
+    k2 = f(y + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = f(y + 0.5 * dt * k2, t + 0.5 * dt)
+    k4 = f(y + dt * k3, t + dt)
+    return y + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+# Tsitouras 5(4) coefficients (the reference's default validation solver is
+# Tsit5, /root/reference/src/MeshGraphNets.jl:53).
+_TSIT5_C = jnp.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TSIT5_A = [
+    [],
+    [0.161],
+    [-0.008480655492356989, 0.335480655492357],
+    [2.8971530571054935, -6.359448489975075, 4.3622954328695815],
+    [5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525],
+    [5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383],
+    [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774],
+]
+_TSIT5_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
+                      1.379008574103742, -3.290069515436081, 2.324710524099774,
+                      0.0])
+# embedded 4th-order weights for the error estimate
+_TSIT5_BHAT = jnp.array([0.001780011052226, 0.000816434459657, -0.007880878010262,
+                         0.144711007173263, -0.582357165452555, 0.458082105929187,
+                         1.0 / 66.0])
+
+
+def _tsit5_stages(f, y, t, dt):
+    ks = []
+    for i in range(7):
+        yi = y
+        for j, a in enumerate(_TSIT5_A[i]):
+            yi = yi + dt * a * ks[j]
+        ks.append(f(yi, t + _TSIT5_C[i] * dt))
+    return ks
+
+
+def _tsit5_step(f, y, t, dt):
+    ks = _tsit5_stages(f, y, t, dt)
+    dy = sum(b * k for b, k in zip(_TSIT5_B, ks))
+    return y + dt * dy
+
+
+FIXED_METHODS: dict[str, Callable] = {
+    "euler": _euler_step,
+    "heun": _heun_step,
+    "rk4": _rk4_step,
+    "tsit5": _tsit5_step,
+}
+
+
+def odeint_fixed(
+    f: Callable,
+    y0: jax.Array,
+    saveat: jax.Array,
+    dt: float | None = None,
+    method: str = "euler",
+    remat: bool = False,
+) -> jax.Array:
+    """Fixed-step integration saving at every ``saveat`` time.
+
+    ``saveat`` must be a uniform grid; ``dt`` (defaulting to the save interval)
+    must divide the save interval.  ``remat=True`` wraps each step in
+    ``jax.checkpoint`` for solver-mode training.  Returns (T_save, ...) with
+    ``out[0] = y0``.
+    """
+    stepper = FIXED_METHODS[method]
+    save_dt = saveat[1] - saveat[0]
+    if dt is None:
+        substeps = 1
+    else:
+        ratio = float(save_dt) / float(dt)
+        substeps = max(1, int(round(ratio)))
+
+    def one_save_interval(y, t0):
+        h = save_dt / substeps
+
+        def body(y, i):
+            return stepper(f, y, t0 + i * h, h), None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        y, _ = jax.lax.scan(body_fn, y, jnp.arange(substeps))
+        return y, y
+
+    _, ys = jax.lax.scan(one_save_interval, y0, saveat[:-1])
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+class _AdaptState(NamedTuple):
+    t: jax.Array
+    y: jax.Array
+    dt: jax.Array
+    err_prev: jax.Array
+    nsteps: jax.Array
+
+
+def odeint_tsit5_adaptive(
+    f: Callable,
+    y0: jax.Array,
+    saveat: jax.Array,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    dt0: float | None = None,
+    max_steps_per_interval: int = 1000,
+    safety: float = 0.9,
+) -> jax.Array:
+    """Adaptive Tsit5 with PI controller, stepping exactly onto save points.
+
+    Equivalent of the reference's ``solve(prob, Tsit5(); saveat, tstops)``
+    (/root/reference/src/solve.jl:57-58): each save point is a mandatory stop,
+    adaptive substeps in between.  Not differentiable (while_loop); use
+    ``odeint_fixed`` for training.
+    """
+    save_dt = saveat[1] - saveat[0]
+    h0 = jnp.asarray(dt0 if dt0 is not None else save_dt, jnp.float32)
+
+    def err_norm(err, y, ynew):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def advance_to(y, t_start, t_end, h_init, err_init):
+        def cond(s: _AdaptState):
+            return (s.t < t_end - 1e-7) & (s.nsteps < max_steps_per_interval)
+
+        def body(s: _AdaptState):
+            h = jnp.minimum(s.dt, t_end - s.t)
+            ks = _tsit5_stages(f, s.y, s.t, h)
+            dy = sum(b * k for b, k in zip(_TSIT5_B, ks))
+            yerr = h * sum(b * k for b, k in zip(_TSIT5_BHAT, ks))
+            ynew = s.y + h * dy
+            e = err_norm(yerr, s.y, ynew) + 1e-12
+            accept = e <= 1.0
+            # PI controller (0.7/0.4 exponents á la standard Tsit5 controllers)
+            fac = safety * e ** -0.38 * (s.err_prev / e) ** 0.04
+            fac = jnp.clip(fac, 0.2, 5.0)
+            h_next = jnp.clip(s.dt * fac, save_dt * 1e-4, save_dt * 10.0)
+            return _AdaptState(
+                t=jnp.where(accept, s.t + h, s.t),
+                y=jnp.where(accept, ynew, s.y),
+                dt=h_next,
+                err_prev=jnp.where(accept, e, s.err_prev),
+                nsteps=s.nsteps + 1,
+            )
+
+        init = _AdaptState(t=t_start, y=y, dt=h_init, err_prev=err_init,
+                           nsteps=jnp.zeros((), jnp.int32))
+        out = jax.lax.while_loop(cond, body, init)
+        return out.y, out.dt, out.err_prev
+
+    def one_interval(carry, t0):
+        y, h, ep = carry
+        y, h, ep = advance_to(y, t0, t0 + save_dt, h, ep)
+        return (y, h, ep), y
+
+    (_, _, _), ys = jax.lax.scan(
+        one_interval, (y0, h0, jnp.ones((), jnp.float32)), saveat[:-1]
+    )
+    return jnp.concatenate([y0[None], ys], axis=0)

@@ -1,0 +1,115 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mgn_tpu.core import graph as G
+
+
+def simple_mesh():
+    # 4 nodes, 2 triangles sharing an edge (1-2)
+    mesh_pos = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    cells = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    node_type = np.array([0, 4, 4, 5], np.int32)
+    return mesh_pos, cells, node_type
+
+
+def test_cells_to_edges_bidirectional_unique():
+    _, cells, _ = simple_mesh()
+    s, r = G.cells_to_edges(cells)
+    und = set(map(tuple, np.sort(np.stack([s, r], 1), axis=1)))
+    assert und == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+    assert len(s) == 10  # 5 undirected edges x 2 directions
+    pairs = set(zip(s.tolist(), r.tolist()))
+    for a, b in und:
+        assert (a, b) in pairs and (b, a) in pairs
+
+
+def test_parse_edges_transposed_and_both_orients():
+    e = np.array([[0, 1], [1, 2]], np.int32)
+    s1, r1 = G.parse_edges(e)
+    s2, r2 = G.parse_edges(e.T)
+    assert set(zip(s1.tolist(), r1.tolist())) == set(zip(s2.tolist(), r2.tolist()))
+
+
+def test_grid_edges_1d_2d_3d():
+    s, r = G.grid_edges([5])
+    assert len(s) == 8  # 4 undirected chain edges x 2
+    s, r = G.grid_edges([3, 3])  # 2-D: fixed vs reference which throws
+    assert len(s) == 2 * (2 * 3 + 3 * 2)
+    s, r = G.grid_edges([2, 2, 2])
+    assert len(s) == 2 * 12
+
+
+def test_grid_edges_excluded_types_get_self_loops():
+    nt = np.array([0, 9, 0, 0, 0], np.int32)
+    s, r = G.grid_edges([5], node_type=nt, no_edges_node_types=[9])
+    pairs = set(zip(s.tolist(), r.tolist()))
+    assert (1, 1) in pairs  # self loop for excluded node
+    assert (0, 1) not in pairs and (1, 2) not in pairs
+    assert (2, 3) in pairs
+
+
+def test_template_padding_and_csr():
+    mesh_pos, cells, node_type = simple_mesh()
+    t = G.build_template(mesh_pos, node_type, cells=cells,
+                         node_bucket=8, edge_bucket=16)
+    assert t.num_nodes == 8 and t.num_edges == 16
+    assert int(t.node_mask.sum()) == 4 and int(t.edge_mask.sum()) == 10
+    r = np.asarray(t.receivers)
+    # receiver-sorted over real edges; dead edges point at last padded node
+    assert (np.diff(r[:10]) >= 0).all()
+    assert (r[10:] == 7).all()
+    ro = np.asarray(t.row_offsets)
+    assert ro.shape == (9,)
+    # row_offsets consistent with receiver counts
+    for n_ in range(4):
+        assert ro[n_ + 1] - ro[n_] == (r[:10] == n_).sum()
+    assert ro[-1] == 16
+    # one-hot
+    oh = np.asarray(t.node_type_onehot)
+    assert oh.shape == (8, 7)
+    assert (oh[:4].argmax(1) == np.array([0, 4, 4, 5])).all()
+    assert (oh[4:] == 0).all()
+
+
+def test_template_accepts_one_based_cells():
+    mesh_pos, cells, node_type = simple_mesh()
+    t0 = G.build_template(mesh_pos, node_type, cells=cells, node_bucket=8, edge_bucket=16)
+    t1 = G.build_template(mesh_pos, node_type, cells=cells + 1, node_bucket=8, edge_bucket=16)
+    assert (np.asarray(t0.senders) == np.asarray(t1.senders)).all()
+
+
+def test_relative_mesh_features():
+    mesh_pos, cells, node_type = simple_mesh()
+    t = G.build_template(mesh_pos, node_type, cells=cells, node_bucket=8, edge_bucket=16)
+    s = np.asarray(t.senders)[:10]
+    r = np.asarray(t.receivers)[:10]
+    f = np.asarray(t.mesh_edge_features)[:10]
+    expect_rel = mesh_pos[s] - mesh_pos[r]
+    assert np.allclose(f[:, :2], expect_rel)
+    assert np.allclose(f[:, 2], np.linalg.norm(expect_rel, axis=1))
+    assert np.allclose(np.asarray(t.mesh_edge_features)[10:], 0)
+
+
+def test_bucket_size():
+    assert G.bucket_size(1) == 128
+    assert G.bucket_size(128) == 128
+    assert G.bucket_size(129) == 256
+    assert G.bucket_size(100, slack=1.5) == 256
+
+
+def test_world_edges():
+    pos = jnp.array([[0.0, 0.0], [0.05, 0.0], [1.0, 1.0], [1.02, 1.0]])
+    mask = jnp.array([True, True, True, True])
+    s, r, m = G.build_world_edges(pos, mask, radius=0.1, capacity=8)
+    pairs = {(int(a), int(b)) for a, b, ok in zip(s, r, m) if ok}
+    assert pairs == {(0, 1), (1, 0), (2, 3), (3, 2)}
+    assert int(m.sum()) == 4
+
+
+def test_world_edges_capacity_clamp():
+    pos = jnp.zeros((6, 2))  # all coincident -> 30 candidate edges
+    mask = jnp.ones((6,), bool)
+    s, r, m = G.build_world_edges(pos, mask, radius=0.5, capacity=10)
+    assert int(m.sum()) == 10  # clamped, no overflow corruption
+    assert s.shape == (10,)
