@@ -1,0 +1,94 @@
+"""Benchmark: message-passing throughput of the flagship MGN on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md): edges/sec/chip through the full
+Encode-Process-Decode forward pass on a cylinder-flow-sized mesh (~1.9k nodes,
+~11k edges, 15 message-passing rounds, latent 128).  edges/sec counts every
+edge update + scatter-add across all rounds.  Iterations run inside one jitted
+fori_loop so device time, not tunnel latency, is measured.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mgn_tpu.core.graph import MeshGraph, build_template, cells_to_edges
+    from mgn_tpu.data.synthetic import make_channel_mesh, make_trajectory
+    from mgn_tpu.models.mgn import MGNConfig, apply_mgn, init_mgn
+
+    backend = jax.default_backend()
+    pos, cells, node_type = make_channel_mesh(1900, seed=0)
+    n = len(pos)
+    template = build_template(pos, node_type, cells=cells)
+    e_real = int(np.asarray(template.edge_mask).sum())
+
+    compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=128, hidden_layers=2, message_passing_steps=15,
+                    compute_dtype=compute_dtype)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    vel = make_trajectory(pos, node_type, tl=1, dt=0.01, seed=0)[0]
+    nf = np.zeros((template.num_nodes, 9), np.float32)
+    nf[:n, :2] = vel
+    nf[:, 2:] = np.asarray(template.node_type_onehot)
+    graph = MeshGraph(
+        node_features=jnp.asarray(nf),
+        edge_features=template.mesh_edge_features,
+        senders=template.senders,
+        receivers=template.receivers,
+        node_mask=template.node_mask,
+        edge_mask=template.edge_mask,
+    )
+    row_offsets = template.row_offsets
+
+    iters = 100 if backend == "tpu" else 5
+
+    @jax.jit
+    def loop(graph):
+        def body(_, g):
+            out = apply_mgn(params, g, cfg, row_offsets=row_offsets)
+            # feed a hash of the output back in so XLA cannot elide iterations
+            nf = g.node_features.at[:, 0].add(0.0 * out[:, 0])
+            return g.replace(node_features=nf)
+
+        return jax.lax.fori_loop(0, iters, body, graph)
+
+    loop(graph).node_features.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    loop(graph).node_features.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    edges_per_sec = e_real * cfg.message_passing_steps / dt
+
+    vs_baseline = 1.0
+    try:  # compare to the previous round's recorded bench if present
+        prior = sorted(p for p in os.listdir(".") if p.startswith("BENCH_r")
+                       and p.endswith(".json"))
+        if prior:
+            with open(prior[-1]) as f:
+                rec = json.load(f)
+            if rec.get("unit") == "edges/sec" and rec.get("value"):
+                vs_baseline = edges_per_sec / float(rec["value"])
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "mgn_message_passing_edges_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/sec",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

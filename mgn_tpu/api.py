@@ -1,0 +1,297 @@
+"""Top-level API: train_network / eval_network / stats entry points.
+
+The L6 layer of the reference (/root/reference/src/MeshGraphNets.jl:252-301
+``train_network``, :507-548 ``eval_network``), re-orchestrated for XLA: the
+per-trajectory inner loop is one jitted scan (see train/derivative.py), and
+trajectories with equal padded shapes reuse one compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mgn_tpu.checkpoint.manager import CheckpointManager
+from mgn_tpu.config import Args
+from mgn_tpu.core import normalizers as N
+from mgn_tpu.data.meta import spatial_dim
+from mgn_tpu.data.pipeline import Dataset, load_dataset
+from mgn_tpu.data.prep import PreparedTrajectory, common_buckets, prepare_trajectory
+from mgn_tpu.models.mgn import MGNConfig, init_mgn
+from mgn_tpu.rollout.evaluate import (export_rollouts_h5, make_rollout_fn,
+                                      rollout_error_report, validation_loss)
+from mgn_tpu.train.common import FieldSpec, NormState, TrainState, type_mask
+from mgn_tpu.train.derivative import (DerivativeTrainerConfig,
+                                      make_derivative_trainer)
+from mgn_tpu.train.strategies import (DerivativeTraining, MultipleShooting,
+                                      SolverTraining, get_delta)
+from mgn_tpu.utils.metrics import MetricsLogger
+
+__all__ = ["train_network", "eval_network", "build_model_config", "init_state"]
+
+
+def build_model_config(meta: Dict[str, Any], args: Args) -> Tuple[MGNConfig, FieldSpec]:
+    spec = FieldSpec.from_meta(meta)
+    quantities, _, _, _ = N.normalizers_from_meta(meta, args.max_norm_steps)
+    cfg = MGNConfig(
+        node_input_dim=quantities,
+        edge_input_dim=spatial_dim(meta) + 1,
+        output_dim=spec.output_dim,
+        latent_size=args.layer_size,
+        hidden_layers=args.hidden_layers,
+        message_passing_steps=args.mps,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+        aggregation_backend=args.aggregation_backend,
+    )
+    return cfg, spec
+
+
+def init_state(
+    meta: Dict[str, Any], args: Args, optimizer: optax.GradientTransformation,
+    key: Optional[jax.Array] = None,
+) -> Tuple[TrainState, MGNConfig, FieldSpec]:
+    """Fresh TrainState (params + optimizer + normalizers from meta.json)."""
+    cfg, spec = build_model_config(meta, args)
+    _, e_norm, n_norms, o_norms = N.normalizers_from_meta(meta, args.max_norm_steps)
+    key = key if key is not None else jax.random.PRNGKey(args.seed)
+    params = init_mgn(key, cfg)
+    state = TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        norm=NormState(edge=e_norm, node=n_norms, output=o_norms),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, cfg, spec
+
+
+def _probe_buckets(dataset: Dataset, meta: Dict[str, Any], args: Args,
+                   max_probe: int = 4) -> Tuple[int, int]:
+    trajs = [dataset.trajectory(i) for i in range(min(max_probe,
+                                                      dataset.num_trajectories))]
+    return common_buckets(trajs, meta, args.node_bucket_multiple,
+                          args.edge_bucket_multiple)
+
+
+def train_network(
+    noise_stddevs: Sequence[float] | float,
+    opt: optax.GradientTransformation,
+    ds_path: str,
+    cp_path: str,
+    metrics: Optional[MetricsLogger] = None,
+    **kwargs: Any,
+) -> Tuple[TrainState, float]:
+    """Train an MGN on a dataset directory; returns (state, min_valid_loss).
+
+    Signature parity with the reference ``train_network(noise, opt, ds_path,
+    cp_path; kws...)`` (/root/reference/src/MeshGraphNets.jl:252) — ``kwargs``
+    populate :class:`mgn_tpu.config.Args`.
+    """
+    args = Args(**kwargs)
+    log = metrics or MetricsLogger(quiet=True)
+    noise = (tuple(noise_stddevs) if isinstance(noise_stddevs, (tuple, list))
+             else (float(noise_stddevs),))
+
+    dataset = load_dataset(ds_path, is_training=True)
+    meta = dataset.meta
+    tl = int(meta["trajectory_length"])
+
+    state, model_cfg, spec = init_state(meta, args, opt)
+    ckpt = CheckpointManager(cp_path)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, _ = restored
+        log.log("resume", step=int(state.step))
+    min_valid = float("inf") if args.reset_valid else ckpt.best_loss()
+
+    strategy = args.training_strategy
+    delta = get_delta(strategy, tl)
+    node_bucket, edge_bucket = _probe_buckets(dataset, meta, args)
+
+    if isinstance(strategy, DerivativeTraining):
+        tcfg = DerivativeTrainerConfig(
+            model=model_cfg, spec=spec, noise_stddevs=noise,
+            types_updated=args.types_updated, types_noisy=args.types_noisy,
+            norm_steps=args.norm_steps,
+        )
+        trainer = jax.jit(make_derivative_trainer(tcfg, opt))
+    elif isinstance(strategy, (SolverTraining, MultipleShooting)):
+        from mgn_tpu.train.solver import SolverTrainerConfig, make_solver_trainer
+
+        tcfg = SolverTrainerConfig(
+            model=model_cfg, spec=spec, strategy=strategy,
+            types_updated=args.types_updated, types_inflow=args.types_inflow,
+            norm_steps=args.norm_steps,
+        )
+        trainer = jax.jit(make_solver_trainer(tcfg, opt))
+    else:
+        raise ValueError(f"unknown training strategy {strategy!r}")
+
+    rollout_valid = jax.jit(make_rollout_fn(
+        model_cfg, spec, solver=args.solver_valid, solver_dt=args.solver_valid_dt,
+        types_updated=args.types_updated, types_inflow=args.types_inflow,
+    ))
+
+    rng = np.random.default_rng(args.seed)
+    total_steps = int(args.steps * args.epochs)
+    traj_idx = 0
+    cp_progress = 0
+    t_last = time.time()
+    prepared_cache: Dict[int, PreparedTrajectory] = {}
+
+    while int(state.step) < total_steps:
+        i = traj_idx % dataset.num_trajectories
+        if i in prepared_cache:
+            prep = prepared_cache[i]
+        else:
+            prep = prepare_trajectory(dataset.trajectory(i), meta, spec,
+                                      node_bucket, edge_bucket)
+            prepared_cache[i] = prep
+        traj_idx += 1
+
+        if isinstance(strategy, DerivativeTraining):
+            n_frames = prep.num_steps - 1
+            if strategy.random:
+                perm = rng.permutation(n_frames)[:delta]
+            else:
+                perm = np.arange(min(delta, n_frames))
+            perm = jnp.asarray(perm, jnp.int32)
+            key = jax.random.PRNGKey(rng.integers(2**31))
+            state, losses = trainer(state, prep.template, prep.fields,
+                                    prep.times, perm, key)
+            losses = np.asarray(losses)
+            n_done = len(perm)
+        else:
+            key = jax.random.PRNGKey(rng.integers(2**31))
+            state, loss = trainer(state, prep.template, prep.fields,
+                                  prep.times, key)
+            losses = np.asarray([loss])
+            n_done = 1
+
+        cp_progress += n_done
+        dt_wall = time.time() - t_last
+        t_last = time.time()
+        log.log("train", step=int(state.step), loss=float(losses.mean()),
+                steps_per_s=n_done / max(dt_wall, 1e-9),
+                warming_up=bool(int(state.step) <= args.norm_steps))
+
+        if int(state.step) > args.norm_steps and cp_progress >= args.checkpoint:
+            cp_progress = 0
+            valid_loss = _validation_sweep(
+                dataset, meta, spec, args, state, rollout_valid,
+                node_bucket, edge_bucket, log,
+            )
+            if valid_loss < min_valid:
+                min_valid = valid_loss
+                ckpt.save(state, valid_loss, best=True)
+            ckpt.save(state, float(losses.mean()))
+            log.log("checkpoint", step=int(state.step), valid_loss=valid_loss,
+                    min_valid_loss=min_valid)
+
+    ckpt.save(state, float(losses.mean()) if len(losses) else float("nan"))
+    return state, min_valid
+
+
+def _validation_sweep(dataset, meta, spec, args: Args, state: TrainState,
+                      rollout_fn, node_bucket, edge_bucket,
+                      log: MetricsLogger) -> float:
+    """Rollout-based validation over all valid trajectories
+    (/root/reference/src/MeshGraphNets.jl:404-451)."""
+    total = 0.0
+    n = max(dataset.num_valid, 1)
+    for i in range(dataset.num_valid):
+        prep = prepare_trajectory(dataset.trajectory(i, valid=True), meta, spec,
+                                  node_bucket, edge_bucket)
+        pred = rollout_fn(state.params, state.norm, prep.template, prep.fields,
+                          prep.times)
+        gt = jnp.concatenate([prep.fields[f] for f in spec.target_fields], -1)
+        mask = type_mask(prep.template.node_type, args.types_updated) \
+            & prep.template.node_mask
+        total += float(validation_loss(pred, gt, mask))
+    loss = total / n
+    log.log("valid", step=int(state.step), loss=loss)
+    return loss
+
+
+def eval_network(
+    ds_path: str,
+    cp_path: str,
+    out_path: str,
+    solver: str = "tsit5_adaptive",
+    start: Optional[float] = None,
+    stop: Optional[float] = None,
+    dt: Optional[float] = None,
+    saves: Optional[np.ndarray] = None,
+    mse_steps: Sequence[int] = (),
+    metrics: Optional[MetricsLogger] = None,
+    **kwargs: Any,
+) -> List[Dict[str, Any]]:
+    """Evaluate a trained network on the test split; exports trajectories.h5.
+
+    Parity with the reference ``eval_network`` (/root/reference/src/MeshGraphNets.jl:507-548)
+    + ``eval_network!`` (:568-672).  Returns the per-trajectory reports.
+    """
+    args = Args(**kwargs)
+    log = metrics or MetricsLogger(quiet=True)
+    dataset = load_dataset(ds_path, is_training=False)
+    meta = dataset.meta
+
+    # dummy optimizer only to build the abstract state; eval restores the
+    # optimizer-free "model" payload
+    state, model_cfg, spec = init_state(meta, args, optax.sgd(1.0))
+    ckpt = CheckpointManager(cp_path)
+    model = ckpt.restore_model(CheckpointManager.model_subtree(state),
+                               best=args.use_valid and
+                               ckpt.latest_step(best=True) is not None)
+    if model is None:
+        raise FileNotFoundError(f"no checkpoint found under {cp_path}")
+    params, norm = model["params"], model["norm"]
+
+    rollout_fn = jax.jit(make_rollout_fn(
+        model_cfg, spec, solver=solver, solver_dt=dt,
+        types_updated=args.types_updated, types_inflow=args.types_inflow,
+    ))
+    node_bucket, edge_bucket = _probe_buckets(dataset, meta, args)
+
+    reports = []
+    exports = []
+    for i in range(min(args.num_rollouts, dataset.num_trajectories)):
+        traj = dataset.trajectory(i)
+        prep = prepare_trajectory(traj, meta, spec, node_bucket, edge_bucket)
+        times = prep.times
+        if saves is not None:
+            times = jnp.asarray(saves, jnp.float32)
+        elif start is not None and stop is not None:
+            keep = (prep.times >= start) & (prep.times <= stop + 1e-9)
+            times = prep.times[keep]
+        t0 = time.time()
+        pred = rollout_fn(params, norm, prep.template, prep.fields, times)
+        pred = jax.block_until_ready(pred)
+        gt = jnp.concatenate([prep.fields[f] for f in spec.target_fields], -1)
+        gt = gt[: pred.shape[0]]
+        report = rollout_error_report(np.asarray(pred), np.asarray(gt),
+                                      prep.num_nodes, mse_steps)
+        report["rollout_seconds"] = time.time() - t0
+        report["steps_per_second"] = (pred.shape[0] - 1) / max(
+            report["rollout_seconds"], 1e-9)
+        reports.append(report)
+        log.log("eval", trajectory=i, final_rmse=report["final_rmse"],
+                steps_per_s=report["steps_per_second"],
+                **{f"mse@{k}": v["mse"] for k, v in report["horizons"].items()})
+        exports.append({
+            "mesh_pos": traj.mesh_pos,
+            "cells": traj.cells,
+            "gt": np.asarray(gt)[:, : prep.num_nodes],
+            "prediction": np.asarray(pred)[:, : prep.num_nodes],
+            "error": report["error"],
+            "timesteps": np.asarray(times),
+        })
+    solver_name = solver if dt is None else f"{solver}_dt{dt}"
+    path = export_rollouts_h5(out_path, solver_name, exports)
+    log.log("export", path=path)
+    return reports

@@ -136,13 +136,17 @@ def read_trajectory(
 
         n_nodes = grid_num_nodes(meta)
         if n_nodes is None:
-            # infer from mesh_pos / first plain dynamic feature
-            for fn in meta["feature_names"]:
+            # infer from mesh_pos / first plain node feature (cells counts
+            # elements, not nodes — skip it)
+            order = ["mesh_pos"] + [f for f in meta["feature_names"]
+                                    if f not in ("mesh_pos", "cells")]
+            for fn in order:
+                if fn not in meta["features"]:
+                    continue
                 key = meta["features"][fn].get("key", fn)
                 if key in traj:
-                    d = traj[key]
-                    shp = d.shape
-                    if meta["features"][fn].get("type") == "static":
+                    shp = traj[key].shape
+                    if meta["features"][fn].get("type", "static") == "static":
                         n_nodes = shp[0] if len(shp) <= 2 else shp[1]
                     else:
                         n_nodes = shp[1] if len(shp) >= 2 else 1

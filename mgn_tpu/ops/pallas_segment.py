@@ -8,9 +8,11 @@ the reference's GraphNetCore GPU stack (SURVEY.md §2: the hot inner call at
   a contiguous-row reduction.
 - Grid over node blocks of ``block_nodes``.  Each step DMAs that block's edge
   rows from HBM in chunks of ``block_edges`` (double-buffered), builds a local
-  one-hot matrix ``M[a, b] = (receiver[b] == node_base + a)`` and accumulates
-  ``M @ chunk`` on the MXU — turning the scatter-add into dense matmuls at
-  MXU throughput instead of serialized vector adds.
+  one-hot matrix ``M[a, b] = (receiver[b] == node_base + a)`` per 128-edge
+  sub-block and accumulates ``M @ chunk`` on the MXU — turning the scatter-add
+  into dense matmuls at MXU throughput instead of serialized vector adds.
+- Receiver ids are stored as (E/128, 128) so index DMAs respect the 128-lane
+  tiling constraint.
 - Per-block edge ranges arrive via scalar prefetch, so only O(num_blocks)
   scalars live in SMEM regardless of graph size.
 
@@ -29,16 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["csr_segment_sum"]
 
+_LANE = 128
+
 
 def _kernel(
     starts_ref,  # scalar prefetch: (num_blocks,) int32, TE-aligned chunk starts
     nchunks_ref,  # scalar prefetch: (num_blocks,) int32, chunk counts
     data_ref,  # HBM: (E_pad, F)
-    recv_ref,  # HBM: (E_pad, 1) int32
+    recv_ref,  # HBM: (E_pad // 128, 128) int32
     out_ref,  # VMEM block: (TN, F) float32
     acc_ref,  # VMEM scratch: (TN, F) float32
     data_buf,  # VMEM scratch: (2, TE, F)
-    recv_buf,  # VMEM scratch: (2, TE, 1) int32
+    recv_buf,  # VMEM scratch: (2, TE // 128, 128) int32
     sems,  # DMA semaphores (2, 2)
     *,
     block_nodes: int,
@@ -48,6 +52,7 @@ def _kernel(
     start = starts_ref[i]
     nchunks = nchunks_ref[i]
     node_base = i * block_nodes
+    sub = block_edges // _LANE
 
     def get_dma(slot, k):
         off = pl.multiple_of(start + k * block_edges, block_edges)
@@ -58,7 +63,7 @@ def _kernel(
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                recv_ref.at[pl.ds(off, block_edges), :],
+                recv_ref.at[pl.ds(off // _LANE, sub), :],
                 recv_buf.at[slot],
                 sems.at[slot, 1],
             ),
@@ -72,8 +77,9 @@ def _kernel(
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    local_ids = node_base + jax.lax.broadcasted_iota(
-        jnp.int32, (block_nodes, block_edges), 0
+    # node ids of this block, replicated across the 128 lanes: (TN, 128)
+    ids = node_base + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, _LANE), 0
     )
 
     def body(k, _):
@@ -89,13 +95,20 @@ def _kernel(
         d.wait()
         r.wait()
 
-        recv = recv_buf[slot][:, 0]  # (TE,)
-        onehot = (recv[None, :] == local_ids).astype(jnp.float32)  # (TN, TE)
-        acc_ref[:] += jnp.dot(
-            onehot,
-            data_buf[slot].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+        recv_all = recv_buf[slot]  # (TE//128, 128)
+        data_all = data_buf[slot]  # (TE, F)
+        for s in range(sub):
+            recv_row = recv_all[s : s + 1, :]  # (1, 128)
+            onehot = (recv_row == ids).astype(jnp.float32)  # (TN, 128)
+            # HIGHEST: full-f32 MXU passes — the scatter-add must be exact in
+            # f32, not bf16-rounded (activation-parity requirement)
+            acc_ref[:] += jax.lax.dot_general(
+                onehot,
+                data_all[s * _LANE : (s + 1) * _LANE, :].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -115,6 +128,7 @@ def _forward(
     n_pad = num_segments
     assert n_pad % block_nodes == 0, (n_pad, block_nodes)
     assert e_pad % block_edges == 0, (e_pad, block_edges)
+    assert block_edges % _LANE == 0
     num_blocks = n_pad // block_nodes
 
     # Per-node-block edge ranges, chunk-aligned (host-free, jit-friendly).
@@ -136,7 +150,7 @@ def _forward(
         scratch_shapes=[
             pltpu.VMEM((block_nodes, f), jnp.float32),
             pltpu.VMEM((2, block_edges, f), data.dtype),
-            pltpu.VMEM((2, block_edges, 1), jnp.int32),
+            pltpu.VMEM((2, block_edges // _LANE, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -152,7 +166,12 @@ def _forward(
             flops=flops, bytes_accessed=e_pad * f * 4 + n_pad * f * 4, transcendentals=0
         ),
         interpret=interpret,
-    )(starts.astype(jnp.int32), nchunks, data, receivers.reshape(-1, 1))
+    )(
+        starts.astype(jnp.int32),
+        nchunks,
+        data,
+        receivers.reshape(e_pad // _LANE, _LANE),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -1,0 +1,161 @@
+"""Spatial graph partitioning for multi-chip message passing.
+
+New capability vs the single-device reference (SURVEY.md §2.3): the mesh-GNN
+analogue of tensor/sequence parallelism is partitioning the simulation mesh
+across chips.  Host-side, once per trajectory:
+
+- **recursive coordinate bisection** of the nodes (cut-minimizing for
+  well-shaped meshes, deterministic, METIS-free),
+- node reordering so each part is contiguous, every part padded to the same
+  ``N_p`` (SPMD static shapes),
+- each edge assigned to its **receiver's** part; senders are kept as global
+  (reordered) indices so the device-side gather runs against all-gathered
+  latents,
+- per-part CSR row offsets over part-local receivers.
+
+The result stacks all per-part arrays on a leading axis that `shard_map`
+splits over the ``graph`` mesh axis (see :mod:`mgn_tpu.parallel.halo`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mgn_tpu.core.graph import (GraphTemplate, bucket_size, csr_row_offsets,
+                                relative_mesh_features)
+
+__all__ = ["PartitionedTemplate", "bisect_partition", "partition_template"]
+
+
+@dataclasses.dataclass
+class PartitionedTemplate:
+    """Per-part stacked graph structure (leading axis = parts)."""
+
+    node_type_onehot: np.ndarray  # (P, N_p, T)
+    mesh_edge_features: np.ndarray  # (P, E_p, D+1)
+    senders_global: np.ndarray  # (P, E_p) int32 — indices into reordered global nodes
+    receivers_local: np.ndarray  # (P, E_p) int32 — part-local, receiver-sorted
+    row_offsets: np.ndarray  # (P, N_p+1) int32
+    node_mask: np.ndarray  # (P, N_p) bool
+    edge_mask: np.ndarray  # (P, E_p) bool
+    node_type: np.ndarray  # (P, N_p) int32 (padded -1)
+    perm: np.ndarray  # (N,) original node id -> position in reordered order
+    num_parts: int
+    part_nodes: int  # N_p
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.num_parts * self.part_nodes
+
+
+def bisect_partition(mesh_pos: np.ndarray, num_parts: int) -> np.ndarray:
+    """Recursive coordinate bisection -> part id per node.
+
+    ``num_parts`` must be a power of two.  Splits along the widest axis at the
+    median, recursively; parts are balanced to within one node.
+    """
+    n = mesh_pos.shape[0]
+    assert num_parts & (num_parts - 1) == 0, "num_parts must be a power of two"
+    part = np.zeros(n, np.int32)
+
+    def rec(idx: np.ndarray, base: int, k: int):
+        if k == 1:
+            part[idx] = base
+            return
+        pos = mesh_pos[idx]
+        axis = int(np.argmax(pos.max(0) - pos.min(0)))
+        order = idx[np.argsort(pos[:, axis], kind="stable")]
+        half = len(order) // 2
+        rec(order[:half], base, k // 2)
+        rec(order[half:], base + k // 2, k // 2)
+
+    rec(np.arange(n), 0, num_parts)
+    return part
+
+
+def partition_template(
+    mesh_pos: np.ndarray,
+    node_type: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_parts: int,
+    type_min: int = 0,
+    type_max: int = 6,
+    part_node_bucket: Optional[int] = None,
+    part_edge_bucket: Optional[int] = None,
+    bucket_multiple: int = 128,
+) -> PartitionedTemplate:
+    """Partition an edge list (0-based, any order) into P stacked shards."""
+    mesh_pos = np.asarray(mesh_pos, np.float32)
+    node_type = np.asarray(node_type).reshape(-1).astype(np.int32)
+    n = mesh_pos.shape[0]
+    part = bisect_partition(mesh_pos, num_parts)
+
+    # reorder nodes: sort by (part, original index)
+    order = np.lexsort((np.arange(n), part))  # new position -> original id
+    perm = np.empty(n, np.int64)
+    perm[order] = np.arange(n)  # original id -> new position within global order
+
+    counts = np.bincount(part, minlength=num_parts)
+    n_p = part_node_bucket or bucket_size(int(counts.max()) + 1, bucket_multiple)
+    if n_p <= counts.max():
+        raise ValueError("part node bucket too small")
+
+    # local slot of each node inside its part
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    local = perm - offsets[part[np.arange(n)]]
+    # global padded id = part * n_p + local
+    gid = part.astype(np.int64) * n_p + local
+
+    edge_part = part[receivers]
+    ecounts = np.bincount(edge_part, minlength=num_parts)
+    e_p = part_edge_bucket or bucket_size(int(ecounts.max()), bucket_multiple)
+
+    t_depth = type_max - type_min + 1
+    onehot = np.zeros((num_parts, n_p, t_depth), np.float32)
+    nt_out = np.full((num_parts, n_p), -1, np.int32)
+    nmask = np.zeros((num_parts, n_p), bool)
+    for p in range(num_parts):
+        ids = np.nonzero(part == p)[0]
+        loc = local[ids]
+        onehot[p, loc, node_type[ids] - type_min] = 1.0
+        nt_out[p, loc] = node_type[ids]
+        nmask[p, loc] = True
+
+    mef_all = relative_mesh_features(mesh_pos, senders, receivers)
+    sg = np.full((num_parts, e_p), 0, np.int32)
+    rl = np.full((num_parts, e_p), n_p - 1, np.int32)
+    mef = np.zeros((num_parts, e_p, mef_all.shape[1]), np.float32)
+    emask = np.zeros((num_parts, e_p), bool)
+    rows = np.zeros((num_parts, n_p + 1), np.int32)
+    for p in range(num_parts):
+        eid = np.nonzero(edge_part == p)[0]
+        rloc = local[receivers[eid]].astype(np.int32)
+        o = np.argsort(rloc, kind="stable")
+        eid = eid[o]
+        rloc = rloc[o]
+        k = len(eid)
+        sg[p, :k] = gid[senders[eid]].astype(np.int32)
+        rl[p, :k] = rloc
+        mef[p, :k] = mef_all[eid]
+        emask[p, :k] = True
+        row = csr_row_offsets(rloc, n_p - 1)
+        rows[p, : n_p] = row
+        rows[p, n_p] = e_p  # dead edges land on the last padded slot
+
+    return PartitionedTemplate(
+        node_type_onehot=onehot,
+        mesh_edge_features=mef,
+        senders_global=sg,
+        receivers_local=rl,
+        row_offsets=rows,
+        node_mask=nmask,
+        edge_mask=emask,
+        node_type=nt_out,
+        perm=perm.astype(np.int64),
+        num_parts=num_parts,
+        part_nodes=n_p,
+    )

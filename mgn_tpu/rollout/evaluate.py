@@ -1,0 +1,134 @@
+"""Rollout evaluation: full-trajectory integration, error reports, HDF5 export.
+
+Covers the reference's eval loop (``eval_network!``,
+/root/reference/src/MeshGraphNets.jl:568-672) and the shared validation step
+(``_validation_step``, /root/reference/src/strategies.jl:111-134):
+
+- initial state = first frame of every target field; non-target dynamic fields
+  frozen at t0; inflow nodes forced from ground truth during integration;
+- per-horizon mse / cum_mse / cum_rmse report at ``mse_steps``;
+- ``trajectories.h5`` export with mesh_pos/gt/prediction/error/timesteps per
+  trajectory — plus ``cells``, which the reference declares but never writes
+  (dead dict at /root/reference/src/MeshGraphNets.jl:573).
+
+Deliberate fix vs the reference: validation error averages over masked nodes,
+channels and saved timesteps (the reference's ``mean(error[mask])`` linear-
+indexes an (F, N) matrix with node indices — a latent indexing quirk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgn_tpu.core.graph import GraphTemplate
+from mgn_tpu.models.mgn import MGNConfig
+from mgn_tpu.rollout.dynamics import make_deriv_fn
+from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_adaptive
+from mgn_tpu.train.common import FieldSpec, NormState, pack_fields, type_mask
+
+__all__ = ["make_rollout_fn", "rollout_error_report", "export_rollouts_h5",
+           "validation_loss"]
+
+
+def make_rollout_fn(
+    model_cfg: MGNConfig,
+    spec: FieldSpec,
+    solver: str = "euler",
+    solver_dt: Optional[float] = None,
+    types_updated: Tuple[int, ...] = (0, 5),
+    types_inflow: Tuple[int, ...] = (1,),
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+) -> Callable:
+    """Build a jittable ``rollout(params, norm, template, fields, times) -> pred``.
+
+    ``pred`` has shape (T, N_pad, output_dim), ``pred[0]`` is the initial
+    state.  ``solver`` is a FIXED_METHODS name or ``'tsit5_adaptive'``.
+    Equivalent of the reference ``rollout`` (/root/reference/src/solve.jl:42-68).
+    """
+
+    def rollout(params, norm: NormState, template: GraphTemplate,
+                fields: Dict[str, jax.Array], times: jax.Array) -> jax.Array:
+        node_mask = template.node_mask
+        val_mask = (type_mask(template.node_type, types_updated) & node_mask
+                    ).astype(jnp.float32)
+        inflow_mask = type_mask(template.node_type, types_inflow) & node_mask
+        gt = jnp.concatenate([fields[f] for f in spec.target_fields], axis=-1)
+        y0 = gt[0]
+        non_target = {f: fields[f][0] for f in spec.fields
+                      if f not in spec.target_fields}
+        save_dt = times[1] - times[0]
+        deriv = make_deriv_fn(
+            params, model_cfg, norm, template, spec, non_target,
+            val_mask, inflow_mask=inflow_mask, forcing_data=gt,
+            forcing_dt=save_dt,
+        )
+        if solver == "tsit5_adaptive":
+            return odeint_tsit5_adaptive(deriv, y0, times, rtol=rtol, atol=atol)
+        return odeint_fixed(deriv, y0, times, dt=solver_dt, method=solver)
+
+    return rollout
+
+
+def validation_loss(pred: jax.Array, gt: jax.Array, update_mask: jax.Array) -> jax.Array:
+    """Masked rollout MSE over (time, nodes, channels)."""
+    err = (pred - gt) ** 2
+    m = update_mask.astype(pred.dtype)[None, :, None]
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
+
+
+def rollout_error_report(
+    pred: np.ndarray, gt: np.ndarray, num_nodes: int,
+    mse_steps: Sequence[int] = (),
+) -> Dict[str, Any]:
+    """Per-horizon error report (semantics of
+    /root/reference/src/MeshGraphNets.jl:614-629): per-node squared error,
+    ``mse`` at each requested horizon index, plus cumulative mse/rmse."""
+    pred = np.asarray(pred)[:, :num_nodes]
+    gt = np.asarray(gt)[:, :num_nodes]
+    err = np.mean((pred - gt) ** 2, axis=(1, 2))  # (T,)
+    report = {"error": (pred - gt) ** 2, "mse_t": err}
+    horizons = {}
+    for s in mse_steps:
+        s = int(s)
+        if s < len(err):
+            horizons[s] = {
+                "mse": float(err[s]),
+                "cum_mse": float(err[: s + 1].mean()),
+                "cum_rmse": float(np.sqrt(err[: s + 1].mean())),
+            }
+    report["horizons"] = horizons
+    report["final_rmse"] = float(np.sqrt(err.mean()))
+    return report
+
+
+def export_rollouts_h5(
+    out_path: str,
+    solver_name: str,
+    rollouts: Sequence[Dict[str, np.ndarray]],
+) -> str:
+    """Write ``<out_path>/<solver_name>/trajectories.h5``.
+
+    Per-trajectory groups hold mesh_pos / gt / prediction / error / timesteps /
+    cells (layout role of /root/reference/src/MeshGraphNets.jl:638-669, with
+    natural row-major arrays instead of flattened data+size vectors).
+    """
+    import h5py
+
+    d = os.path.join(out_path, solver_name)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "trajectories.h5")
+    with h5py.File(path, "w") as f:
+        for i, r in enumerate(rollouts):
+            g = f.create_group(str(i))
+            for k in ("mesh_pos", "gt", "prediction", "error", "timesteps", "cells"):
+                if k in r and r[k] is not None:
+                    g[k] = np.asarray(r[k])
+    return path

@@ -66,10 +66,11 @@ _TSIT5_A = [
 _TSIT5_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
                       1.379008574103742, -3.290069515436081, 2.324710524099774,
                       0.0])
-# embedded 4th-order weights for the error estimate
-_TSIT5_BHAT = jnp.array([0.001780011052226, 0.000816434459657, -0.007880878010262,
-                         0.144711007173263, -0.582357165452555, 0.458082105929187,
-                         1.0 / 66.0])
+# embedded error weights (b - b_hat); they sum to ~0 (consistency)
+_TSIT5_BTILDE = jnp.array([-0.001780011052226, -0.000816434459657,
+                           0.007880878010262, -0.144711007173263,
+                           0.582357165452555, -0.458082105929187,
+                           1.0 / 66.0])
 
 
 def _tsit5_stages(f, y, t, dt):
@@ -173,7 +174,7 @@ def odeint_tsit5_adaptive(
             h = jnp.minimum(s.dt, t_end - s.t)
             ks = _tsit5_stages(f, s.y, s.t, h)
             dy = sum(b * k for b, k in zip(_TSIT5_B, ks))
-            yerr = h * sum(b * k for b, k in zip(_TSIT5_BHAT, ks))
+            yerr = h * sum(b * k for b, k in zip(_TSIT5_BTILDE, ks))
             ynew = s.y + h * dy
             e = err_norm(yerr, s.y, ynew) + 1e-12
             accept = e <= 1.0

@@ -1,0 +1,176 @@
+"""Solver-based (NeuralODE) training strategies.
+
+Covers SolverTraining and MultipleShooting
+(/root/reference/src/strategies.jl:140-383): the loss is computed on a full
+ODE solve of the learned dynamics and differentiated **through the solver**.
+The reference uses continuous adjoints (SciMLSensitivity InterpolatingAdjoint
+with checkpointing, :247-255); the TPU-native equivalent is the discrete
+adjoint — AD through a remat'd ``lax.scan`` fixed-step integrator
+(SURVEY.md §7.3 hard part 3: piecewise-fixed fallback for adaptive methods).
+
+Reference semantics kept:
+- inflow nodes forced from ground truth during the solve
+  (/root/reference/src/strategies.jl:178-186, /root/reference/src/solve.jl:105-108);
+- loss on **normalized** prediction vs ground truth, masked to updated nodes
+  (/root/reference/src/strategies.jl:270-289);
+- MultipleShooting: overlapping windows (stride ``interval_size - 1``) started
+  from ground truth + L1 continuity penalty of each window's end vs the next
+  window's ground-truth start (:339-380).
+
+Deliberate redesigns:
+- windows are vmapped with equal static length; a ragged final window is
+  handled by sliding its start back (extra overlap) instead of shrinking it;
+- online normalizers accumulate once per optimizer step on the ground-truth
+  save frames and their finite differences, rather than inside solver stages
+  (functionally pure; same statistics source, deterministic count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mgn_tpu.core import normalizers as N
+from mgn_tpu.core.graph import GraphTemplate
+from mgn_tpu.models.mgn import MGNConfig
+from mgn_tpu.rollout.dynamics import make_deriv_fn
+from mgn_tpu.rollout.integrators import odeint_fixed
+from mgn_tpu.train.common import (FieldSpec, NormState, TrainState, type_mask)
+from mgn_tpu.train.strategies import MultipleShooting, SolverTraining
+
+__all__ = ["SolverTrainerConfig", "make_solver_trainer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverTrainerConfig:
+    model: MGNConfig
+    spec: FieldSpec
+    strategy: SolverTraining | MultipleShooting
+    types_updated: Tuple[int, ...] = (0, 5)
+    types_inflow: Tuple[int, ...] = (1,)
+    norm_steps: int = 1000
+
+
+def _save_grid(strategy) -> jnp.ndarray:
+    n = int(round((strategy.tstop - strategy.tstart) / strategy.dt)) + 1
+    return strategy.tstart + jnp.arange(n, dtype=jnp.float32) * strategy.dt
+
+
+def make_solver_trainer(
+    cfg: SolverTrainerConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build ``train_step(state, template, fields, times, key) -> (state, loss)``
+    — one optimizer step per trajectory (delta=1,
+    /root/reference/src/strategies.jl:142-144)."""
+    spec = cfg.spec
+    strategy = cfg.strategy
+    saveat = _save_grid(strategy)
+    n_save = saveat.shape[0]
+
+    def accumulate_norms(state: TrainState, template: GraphTemplate,
+                         gt_fields: Dict[str, jax.Array],
+                         times: jax.Array) -> NormState:
+        node_mask = template.node_mask
+        node_norms = dict(state.norm.node)
+        out_norms = dict(state.norm.output)
+        dt0 = times[1] - times[0]
+        for f in spec.fields:
+            flat = gt_fields[f].reshape(-1, gt_fields[f].shape[-1])
+            fmask = jnp.tile(node_mask, gt_fields[f].shape[0])
+            node_norms[f] = N.accumulate(node_norms[f], flat, fmask)
+        for f in spec.target_fields:
+            diff = (gt_fields[f][1:] - gt_fields[f][:-1]) / dt0
+            flat = diff.reshape(-1, diff.shape[-1])
+            fmask = jnp.tile(node_mask, diff.shape[0])
+            out_norms[f] = N.accumulate(out_norms[f], flat, fmask)
+        edge_norm = N.accumulate(state.norm.edge, template.mesh_edge_features,
+                                 template.edge_mask)
+        return NormState(edge=edge_norm, node=node_norms, output=out_norms)
+
+    def train_step(state: TrainState, template: GraphTemplate,
+                   fields: Dict[str, jax.Array], times: jax.Array,
+                   key: jax.Array):
+        del key  # solver strategies are noise-free (reference adds none)
+        node_mask = template.node_mask
+        val_mask = (type_mask(template.node_type, cfg.types_updated)
+                    & node_mask).astype(jnp.float32)
+        inflow_mask = type_mask(template.node_type, cfg.types_inflow) & node_mask
+
+        dt0 = times[1] - times[0]
+        frame_idx = jnp.clip(
+            jnp.round((saveat - times[0]) / dt0).astype(jnp.int32),
+            0, jnp.asarray(next(iter(fields.values())).shape[0] - 1),
+        )
+        gt_fields = {f: jnp.take(fields[f], frame_idx, axis=0)
+                     for f in spec.fields}
+        norm = accumulate_norms(state, template, gt_fields, times)
+
+        gt = jnp.concatenate([gt_fields[f] for f in spec.target_fields], -1)
+        non_target = {f: gt_fields[f][0] for f in spec.fields
+                      if f not in spec.target_fields}
+
+        def normalized(slab):  # (T, N, F) -> node-normalized per target field
+            parts = []
+            off = 0
+            for f, d in zip(spec.target_fields, spec.target_dims):
+                parts.append(norm.node[f](slab[..., off:off + d]))
+                off += d
+            return jnp.concatenate(parts, -1)
+
+        gt_n = normalized(gt)
+        vm3 = val_mask[None, :, None]
+        denom = jnp.maximum(jnp.sum(val_mask) * gt.shape[-1], 1.0)
+
+        def loss_fn(params):
+            deriv = make_deriv_fn(
+                params, cfg.model, norm, template, spec, non_target, val_mask,
+                inflow_mask=inflow_mask, forcing_data=gt, forcing_dt=strategy.dt,
+            )
+            if isinstance(strategy, SolverTraining):
+                pred = odeint_fixed(deriv, gt[0], saveat, dt=strategy.solver_dt,
+                                    method=strategy.solver, remat=strategy.remat)
+                err = (normalized(pred) - gt_n) ** 2 * vm3
+                return jnp.sum(err) / (denom * n_save)
+            # MultipleShooting
+            stride = strategy.interval_size - 1
+            starts = jnp.arange(0, n_save - 1, stride)
+            starts = jnp.minimum(starts, n_save - strategy.interval_size)
+            win_times = saveat[0] + (starts[:, None] + jnp.arange(
+                strategy.interval_size)[None, :]) * strategy.dt
+
+            def window_loss(s, wt):
+                y0 = jax.lax.dynamic_index_in_dim(gt, s, 0, keepdims=False)
+                pred = odeint_fixed(deriv, y0, wt, dt=strategy.solver_dt,
+                                    method=strategy.solver, remat=strategy.remat)
+                gt_w = jax.lax.dynamic_slice_in_dim(gt, s, strategy.interval_size, 0)
+                gt_w_n = jax.lax.dynamic_slice_in_dim(gt_n, s,
+                                                      strategy.interval_size, 0)
+                mse = jnp.sum((normalized(pred) - gt_w_n) ** 2 * vm3) / (
+                    denom * strategy.interval_size)
+                # continuity vs the NEXT window's ground-truth start
+                end_gap = jnp.sum(jnp.abs(pred[-1] - gt_w[-1]) * val_mask[:, None])
+                return mse, end_gap
+
+            mses, gaps = jax.vmap(window_loss)(starts, win_times)
+            # gaps[i] couples window i's end to window i+1's gt start (windows
+            # overlap by one point, so gt_w[-1] IS the next window's start)
+            return jnp.sum(mses) + strategy.continuity_term * jnp.sum(gaps[:-1])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        do_update = state.step >= cfg.norm_steps
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(do_update, x, y), a, b)
+        return TrainState(
+            params=sel(new_params, state.params),
+            opt_state=sel(new_opt, state.opt_state),
+            norm=norm,
+            step=state.step + 1,
+        ), loss
+
+    return train_step

@@ -1,0 +1,155 @@
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from mgn_tpu.data.meta import load_meta, target_dims, spatial_dim
+from mgn_tpu.data.pipeline import load_dataset
+from mgn_tpu.data.synthetic import write_synthetic_dataset
+from mgn_tpu.data import tfrecord as tfr
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    write_synthetic_dataset(str(d), num_nodes=64, tl=12, n_train=3, n_valid=2,
+                            n_test=2)
+    return str(d)
+
+
+def test_meta_roundtrip(ds_dir):
+    meta = load_meta(ds_dir)
+    assert meta["trajectory_length"] == 12
+    assert target_dims(meta) == {"velocity": 2}
+    assert spatial_dim(meta) == 2
+
+
+def test_load_dataset_splits(ds_dir):
+    ds = load_dataset(ds_dir, is_training=True)
+    assert ds.num_trajectories == 3 and ds.num_valid == 2
+    t = ds.trajectory(0)
+    assert t.mesh_pos.ndim == 2 and t.mesh_pos.shape[1] == 2
+    assert t.node_type.shape == (t.num_nodes,)
+    assert t.fields["velocity"].shape == (12, t.num_nodes, 2)
+    assert t.cells is not None and t.cells.shape[1] == 3
+    assert np.allclose(np.diff(t.times), 0.01)
+    # walls have zero velocity
+    assert np.allclose(t.fields["velocity"][:, t.node_type == 6], 0)
+
+
+def test_dataset_cache_and_iter(ds_dir):
+    ds = load_dataset(ds_dir, is_training=True)
+    a = ds.trajectory(0)
+    b = ds.trajectory(0)
+    assert a is b  # cached
+    seen = [t for t in ds.iter_train(epochs=2)]
+    assert len(seen) == 6
+
+
+def test_test_split(ds_dir):
+    ds = load_dataset(ds_dir, is_training=False)
+    assert ds.num_trajectories == 2 and ds.num_valid == 0
+
+
+# --- TFRecord path -----------------------------------------------------------
+
+def _varint(n):
+    out = b""
+    while True:
+        b_ = n & 0x7F
+        n >>= 7
+        out += bytes([b_ | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _field(num, payload):
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _example(features: dict) -> bytes:
+    entries = b""
+    for k, arr in features.items():
+        bl = _field(1, arr.tobytes())  # BytesList.value
+        feat = _field(1, bl)  # Feature.bytes_list
+        entry = _field(1, k.encode()) + _field(2, feat)
+        entries += _field(1, entry)  # Features.feature map entry
+    return _field(1, entries)  # Example.features
+
+
+def _write_tfrecord(path, examples):
+    with open(path, "wb") as f:
+        for ex in examples:
+            f.write(struct.pack("<Q", len(ex)) + b"\0\0\0\0" + ex + b"\0\0\0\0")
+
+
+@pytest.fixture(scope="module")
+def tfds_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tfds")
+    tl, n = 5, 8
+    meta = {
+        "dt": 0.02, "trajectory_length": tl, "dims": 2,
+        "feature_names": ["cells", "mesh_pos", "node_type", "velocity"],
+        "target_features": ["velocity"],
+        "features": {
+            "cells": {"type": "static", "dim": 3, "shape": [1, -1, 3],
+                      "dtype": "int32"},
+            "mesh_pos": {"type": "static", "dim": 2, "shape": [1, -1, 2],
+                         "dtype": "float32"},
+            "node_type": {"type": "static", "dim": 1, "shape": [1, -1, 1],
+                          "dtype": "int32", "onehot": True, "data_min": 0,
+                          "data_max": 6},
+            "velocity": {"type": "dynamic", "dim": 2, "shape": [tl, -1, 2],
+                         "dtype": "float32"},
+        },
+    }
+    rng = np.random.default_rng(0)
+    pos = rng.random((n, 2)).astype("<f4")
+    cells = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6], [5, 6, 7]], "<i4")
+    nt = np.zeros((n, 1), "<i4")
+    exs = []
+    vels = []
+    for _ in range(2):
+        vel = rng.random((tl, n, 2)).astype("<f4")
+        vels.append(vel)
+        exs.append(_example({"cells": cells, "mesh_pos": pos, "node_type": nt,
+                             "velocity": vel}))
+    for split, sl in (("train", exs), ("valid", exs[:1]), ("test", exs[:1])):
+        _write_tfrecord(os.path.join(d, f"{split}.tfrecord"), sl)
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return str(d), pos, vels
+
+
+def test_tfrecord_reader(tfds_dir):
+    d, pos, vels = tfds_dir
+    ds = load_dataset(d, is_training=True)
+    assert ds.num_trajectories == 2 and ds.num_valid == 1
+    t = ds.trajectory(1)
+    assert np.allclose(t.mesh_pos, pos)
+    assert np.allclose(t.fields["velocity"], vels[1])
+    assert t.cells.shape == (4, 3)
+    assert np.allclose(np.diff(t.times), 0.02)
+
+
+def test_tfrecord_count():
+    # count_records on a real file
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.tfrecord")
+        _write_tfrecord(p, [b"abc", b"defgh"])
+        assert tfr.count_records(p) == 2
+        assert list(tfr.read_records(p)) == [b"abc", b"defgh"]
+
+
+def test_stats_utils(ds_dir):
+    from mgn_tpu.utils.stats import data_meanstd, der_minmax
+
+    dm = der_minmax(ds_dir)
+    assert "velocity" in dm
+    assert dm["velocity"]["output_min"] < dm["velocity"]["output_max"]
+    ms = data_meanstd(ds_dir)
+    assert ms["velocity"]["data_std"] > 0
+    assert "target|velocity" in ms

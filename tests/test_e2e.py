@@ -1,0 +1,77 @@
+"""End-to-end slice: train_network -> checkpoint -> resume -> eval_network."""
+
+import os
+
+import numpy as np
+import optax
+import pytest
+
+from mgn_tpu import eval_network, train_network
+from mgn_tpu.data.synthetic import write_synthetic_dataset
+from mgn_tpu.train.strategies import DerivativeTraining
+from mgn_tpu.utils.metrics import MetricsLogger
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e_ds")
+    write_synthetic_dataset(str(d), num_nodes=48, tl=12, n_train=2, n_valid=1,
+                            n_test=2)
+    return str(d)
+
+
+SMALL = dict(mps=2, layer_size=16, hidden_layers=1, norm_steps=5,
+             types_updated=(0, 5), types_noisy=(0,), num_rollouts=2,
+             solver_valid="euler", seed=0)
+
+
+def test_train_eval_roundtrip(ds_dir, tmp_path):
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    state, min_valid = train_network(
+        0.01, optax.adam(1e-3), ds_dir, cp,
+        steps=40, checkpoint=20, **SMALL)
+    assert int(state.step) >= 40
+    assert np.isfinite(min_valid)
+    # checkpoints exist (latest + best streams)
+    assert any(p.startswith("step_") for p in os.listdir(cp))
+    assert any(p.startswith("step_") for p in os.listdir(os.path.join(cp, "valid")))
+
+    reports = eval_network(ds_dir, cp, out, solver="euler",
+                           mse_steps=(2, 5), **SMALL)
+    assert len(reports) == 2
+    for r in reports:
+        assert np.isfinite(r["final_rmse"])
+        assert 2 in r["horizons"] and "cum_rmse" in r["horizons"][2]
+    h5 = os.path.join(out, "euler", "trajectories.h5")
+    assert os.path.isfile(h5)
+    import h5py
+
+    with h5py.File(h5) as f:
+        g = f["0"]
+        assert set(g.keys()) >= {"mesh_pos", "gt", "prediction", "error",
+                                 "timesteps", "cells"}
+        assert g["prediction"].shape == g["gt"].shape
+
+
+def test_resume_continues_from_checkpoint(ds_dir, tmp_path):
+    cp = str(tmp_path / "cp2")
+    state1, _ = train_network(0.01, optax.adam(1e-3), ds_dir, cp,
+                              steps=22, checkpoint=100, **SMALL)
+    s1 = int(state1.step)
+    state2, _ = train_network(0.01, optax.adam(1e-3), ds_dir, cp,
+                              steps=44, checkpoint=100, **SMALL)
+    assert int(state2.step) >= 44
+    # resume restored normalizer accumulators, not just params
+    assert float(state2.norm.edge.num_accumulations) > \
+        float(state1.norm.edge.num_accumulations) > 0
+
+
+def test_adaptive_eval(ds_dir, tmp_path):
+    cp = str(tmp_path / "cp3")
+    train_network(0.01, optax.adam(1e-3), ds_dir, cp, steps=12, checkpoint=6,
+                  **SMALL)
+    out = str(tmp_path / "out3")
+    reports = eval_network(ds_dir, cp, out, solver="tsit5_adaptive",
+                           mse_steps=(3,), **SMALL)
+    assert np.isfinite(reports[0]["final_rmse"])

@@ -1,0 +1,80 @@
+import jax.numpy as jnp
+import numpy as np
+
+from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_adaptive
+
+
+def exp_decay(y, t):
+    return -y
+
+
+def test_euler_first_order():
+    y0 = jnp.ones((4, 2))
+    saveat = jnp.linspace(0, 1, 11)
+    out1 = odeint_fixed(exp_decay, y0, saveat, dt=0.1, method="euler")
+    out2 = odeint_fixed(exp_decay, y0, saveat, dt=0.01, method="euler")
+    exact = np.exp(-1.0)
+    e1 = abs(float(out1[-1, 0, 0]) - exact)
+    e2 = abs(float(out2[-1, 0, 0]) - exact)
+    assert e1 / e2 > 5  # ~10x for first order
+
+
+def test_rk4_accuracy():
+    y0 = jnp.ones((2,))
+    saveat = jnp.linspace(0, 1, 11)
+    out = odeint_fixed(exp_decay, y0, saveat, dt=0.1, method="rk4")
+    assert abs(float(out[-1, 0]) - np.exp(-1.0)) < 1e-6
+    # trajectory matches exp at every save point
+    assert np.allclose(np.asarray(out[:, 0]), np.exp(-np.asarray(saveat)), atol=1e-6)
+
+
+def test_tsit5_fixed_accuracy():
+    y0 = jnp.ones((2,))
+    saveat = jnp.linspace(0, 1, 11)
+    out = odeint_fixed(exp_decay, y0, saveat, dt=0.1, method="tsit5")
+    # float32 regime: 5th-order truncation error is below machine epsilon here
+    assert abs(float(out[-1, 0]) - np.exp(-1.0)) < 3e-7
+
+
+def test_heun_second_order():
+    y0 = jnp.ones((2,))
+    saveat = jnp.linspace(0, 1, 11)
+    out1 = odeint_fixed(exp_decay, y0, saveat, dt=0.1, method="heun")
+    out2 = odeint_fixed(exp_decay, y0, saveat, dt=0.05, method="heun")
+    exact = np.exp(-1.0)
+    ratio = abs(float(out1[-1, 0]) - exact) / abs(float(out2[-1, 0]) - exact)
+    assert 3 < ratio < 5  # ~4x for second order
+
+
+def test_adaptive_tsit5_stiffish():
+    # y' = -50 y needs small steps; adaptive must handle it from a large dt0
+    f = lambda y, t: -50.0 * y
+    y0 = jnp.ones((2,))
+    saveat = jnp.linspace(0, 0.5, 6)
+    out = odeint_tsit5_adaptive(f, y0, saveat, rtol=1e-6, atol=1e-8, dt0=0.1)
+    assert np.allclose(np.asarray(out[:, 0]), np.exp(-50 * np.asarray(saveat)),
+                       atol=1e-5)
+
+
+def test_adaptive_nonautonomous():
+    f = lambda y, t: jnp.cos(t) * jnp.ones_like(y)
+    y0 = jnp.zeros((1,))
+    saveat = jnp.linspace(0, 3, 7)
+    out = odeint_tsit5_adaptive(f, y0, saveat, rtol=1e-7, atol=1e-9)
+    assert np.allclose(np.asarray(out[:, 0]), np.sin(np.asarray(saveat)), atol=1e-5)
+
+
+def test_remat_grad():
+    import jax
+
+    y0 = jnp.ones((2,))
+    saveat = jnp.linspace(0, 1, 6)
+
+    def loss(k):
+        f = lambda y, t: -k * y
+        out = odeint_fixed(f, y0, saveat, dt=0.05, method="rk4", remat=True)
+        return jnp.sum(out[-1])
+
+    g = jax.grad(loss)(1.0)
+    # d/dk of 2*exp(-k) at k=1 is -2 exp(-1)
+    assert abs(float(g) + 2 * np.exp(-1.0)) < 1e-4

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mgn_tpu.core.graph import cells_to_edges, sort_edges_by_receiver
+from mgn_tpu.core import normalizers as N
+from mgn_tpu.data.synthetic import make_channel_mesh, make_trajectory
+from mgn_tpu.models.mgn import MGNConfig, apply_mgn, init_mgn
+from mgn_tpu.core.graph import build_template, MeshGraph
+from mgn_tpu.parallel.partition import bisect_partition, partition_template
+from mgn_tpu.parallel.spmd import (SpmdBatch, batch_from_partitioned,
+                                   make_device_mesh, make_spmd_derivative_step,
+                                   _global_ids)
+from mgn_tpu.train.common import FieldSpec, NormState, TrainState
+
+
+def test_bisect_partition_balanced():
+    pos, cells, nt = make_channel_mesh(128, seed=0)
+    part = bisect_partition(pos, 4)
+    counts = np.bincount(part, minlength=4)
+    assert counts.max() - counts.min() <= 1
+    assert part.shape == (len(pos),)
+
+
+def small_setup(num_parts=4):
+    pos, cells, nt = make_channel_mesh(96, seed=1)
+    s, r = cells_to_edges(cells)
+    pt = partition_template(pos, nt, s, r, num_parts, part_node_bucket=64,
+                            part_edge_bucket=256)
+    return pos, cells, nt, s, r, pt
+
+
+def test_partition_covers_all_edges():
+    pos, cells, nt, s, r, pt = small_setup()
+    assert int(pt.edge_mask.sum()) == len(s)
+    assert int(pt.node_mask.sum()) == len(pos)
+    # every real edge's receiver-local + part reproduces a real global edge
+    gids = _global_ids(pt, len(pos))
+    edge_set = set(zip(s.tolist(), r.tolist()))
+    for p in range(pt.num_parts):
+        k = int(pt.edge_mask[p].sum())
+        inv = np.full(pt.num_parts * pt.part_nodes, -1, np.int64)
+        inv[gids] = np.arange(len(pos))
+        ss = inv[pt.senders_global[p, :k]]
+        rr = inv[p * pt.part_nodes + pt.receivers_local[p, :k]]
+        for a, b in zip(ss.tolist(), rr.tolist()):
+            assert (a, b) in edge_set
+
+
+def test_sharded_forward_matches_single_device():
+    """Graph-parallel forward == single-graph forward on the same mesh."""
+    pos, cells, nt, s, r, pt = small_setup(num_parts=4)
+    n = len(pos)
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1, message_passing_steps=2,
+                    aggregation_backend="xla")
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+
+    # single-device reference on the ORIGINAL graph
+    t = build_template(pos, nt, cells=cells, node_bucket=128, edge_bucket=1024)
+    rng = np.random.default_rng(0)
+    nf_real = rng.normal(size=(n, 9)).astype(np.float32)
+    nf = np.zeros((128, 9), np.float32)
+    nf[:n] = nf_real
+    g = MeshGraph(node_features=jnp.asarray(nf),
+                  edge_features=t.mesh_edge_features,
+                  senders=t.senders, receivers=t.receivers,
+                  node_mask=t.node_mask, edge_mask=t.edge_mask)
+    ref = np.asarray(apply_mgn(params, g, cfg))[:n]
+
+    # sharded forward via vmap over parts with a fake axis: use shard_map on
+    # the 8-device cpu mesh, graph axis = 4
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from mgn_tpu.parallel.halo import apply_mgn_sharded
+
+    mesh = make_device_mesh(1, 4)
+    gids = _global_ids(pt, n)
+    nfp = np.zeros((pt.num_parts * pt.part_nodes, 9), np.float32)
+    nfp[gids] = nf_real
+    nfp = nfp.reshape(pt.num_parts, pt.part_nodes, 9)
+
+    def f(nf_s, ef_s, sg, rl, nm, em):
+        out = apply_mgn_sharded(params, nf_s[0], ef_s[0], sg[0], rl[0], nm[0],
+                                em[0], cfg, axis_name="graph")
+        return out[None]
+
+    fn = shard_map(
+        f, mesh=mesh,
+        in_specs=(P("graph"),) * 6, out_specs=P("graph"), check_rep=False)
+    out = fn(jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
+             jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
+             jnp.asarray(pt.node_mask), jnp.asarray(pt.edge_mask))
+    out = np.asarray(out).reshape(-1, 2)
+    inv = np.asarray(gids)
+    assert np.allclose(out[inv], ref, atol=5e-4), np.abs(out[inv] - ref).max()
+
+
+def test_spmd_derivative_step_runs():
+    pos, cells, nt, s, r, pt = small_setup(num_parts=4)
+    meta_spec = FieldSpec(fields=("velocity",), target_fields=("velocity",),
+                          field_dims=(2,), target_dims=(2,))
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1, message_passing_steps=2,
+                    aggregation_backend="xla")
+    vel = make_trajectory(pos, nt, tl=6, dt=0.01, seed=0)
+    times = np.arange(6, dtype=np.float32) * 0.01
+    batch = batch_from_partitioned(
+        [pt, pt], [{"velocity": vel}, {"velocity": vel}],
+        [times, times], frames=np.array([0, 2]))
+
+    mesh = make_device_mesh(2, 4)
+    opt = optax.adam(1e-3)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    state = TrainState(
+        params=params, opt_state=opt.init(params),
+        norm=NormState(edge=N.Online.create(3),
+                       node={"velocity": N.Online.create(2),
+                             "node_type": N.OfflineMinMax.create(0.0, 1.0)},
+                       output={"velocity": N.Online.create(2)}),
+        step=jnp.zeros((), jnp.int32))
+    step = make_spmd_derivative_step(mesh, cfg, meta_spec, opt,
+                                     noise_stddevs=(0.01,), norm_steps=0)
+    tree = batch.tree()
+    st, loss = step(state, tree, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert int(st.step) == 1
+    # params actually updated (norm_steps=0)
+    diff = jax.tree.reduce(lambda a, b: a + b,
+                           jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                                        st.params, state.params))
+    assert diff > 0
+    # normalizer stats identical across shards by construction (replicated out)
+    assert float(st.norm.edge.num_accumulations) > 0

@@ -1,0 +1,76 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mgn_tpu.config import Args
+from mgn_tpu.api import init_state
+from mgn_tpu.data.pipeline import load_dataset
+from mgn_tpu.data.prep import common_buckets, prepare_trajectory
+from mgn_tpu.data.synthetic import write_synthetic_dataset
+from mgn_tpu.train.common import FieldSpec
+from mgn_tpu.train.derivative import (DerivativeTrainerConfig,
+                                      make_derivative_trainer)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    write_synthetic_dataset(str(d), num_nodes=48, tl=16, n_train=2, n_valid=1,
+                            n_test=1)
+    args = Args(mps=2, layer_size=16, hidden_layers=1, norm_steps=4, seed=0)
+    ds = load_dataset(str(d), is_training=True)
+    opt = optax.adam(1e-3)
+    state, model_cfg, spec = init_state(ds.meta, args, opt)
+    nb, eb = common_buckets([ds.trajectory(0)], ds.meta)
+    prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec, nb, eb)
+    # noise 0 here: with dt=0.01, noise/dt dominates the finite-difference
+    # target and sets an irreducible loss floor (that's physics, not a bug) —
+    # convergence is cleaner to assert without it
+    tcfg = DerivativeTrainerConfig(model=model_cfg, spec=spec,
+                                   noise_stddevs=(0.0,), norm_steps=4)
+    trainer = jax.jit(make_derivative_trainer(tcfg, opt))
+    return state, trainer, prep, spec
+
+
+def test_warmup_gates_updates(setup):
+    state, trainer, prep, spec = setup
+    perm = jnp.arange(3, dtype=jnp.int32)
+    st1, losses = trainer(state, prep.template, prep.fields, prep.times, perm,
+                          jax.random.PRNGKey(0))
+    # 3 steps < norm_steps=4: params unchanged, normalizers accumulated
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     st1.params, state.params))
+    assert diff == 0.0
+    assert int(st1.step) == 3
+    assert float(st1.norm.node["velocity"].num_accumulations) > 0
+    assert float(st1.norm.edge.num_accumulations) > 0
+    assert float(st1.norm.output["velocity"].num_accumulations) > 0
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_training_reduces_loss(setup):
+    state, trainer, prep, spec = setup
+    rng = np.random.default_rng(0)
+    losses_hist = []
+    n_iter = 20
+    for it in range(n_iter):
+        perm = jnp.asarray(rng.permutation(prep.num_steps - 1), jnp.int32)
+        state, losses = trainer(state, prep.template, prep.fields, prep.times,
+                                perm, jax.random.PRNGKey(it))
+        losses_hist.append(float(np.asarray(losses).mean()))
+    # after warmup, loss should collapse on this easy smooth noise-free field
+    assert losses_hist[-1] < losses_hist[1] * 0.2, losses_hist
+    assert int(state.step) == n_iter * (prep.num_steps - 1)
+
+
+def test_online_norm_cap_respected(setup):
+    state, trainer, prep, spec = setup
+    perm = jnp.arange(5, dtype=jnp.int32)
+    st, _ = trainer(state, prep.template, prep.fields, prep.times, perm,
+                    jax.random.PRNGKey(0))
+    cap = float(st.norm.node["velocity"].max_acc)
+    assert cap == 10e6
