@@ -215,6 +215,11 @@ def csr_segment_sum(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # shrink blocks to divide the padded sizes (buckets are 128-multiples)
+    while num_segments % block_nodes and block_nodes > _LANE:
+        block_nodes //= 2
+    while data.shape[0] % block_edges and block_edges > _LANE:
+        block_edges //= 2
     return _csr_segment_sum(
         data, receivers, row_offsets, num_segments, block_nodes, block_edges,
         interpret,
