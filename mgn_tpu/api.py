@@ -70,6 +70,21 @@ def init_state(
     return state, cfg, spec
 
 
+def _substeps_for(meta: Dict[str, Any], solver_dt: Optional[float]) -> Optional[int]:
+    """Static substep count for fixed-step rollouts (save interval / solver dt).
+
+    Save grids are traced under jit, so the ratio must be derived statically
+    from the meta.json dt; falls back to 1 when dt is per-trajectory (string
+    key) and no finer-grained stepping can be derived.
+    """
+    if solver_dt is None:
+        return None
+    base = meta.get("dt")
+    if isinstance(base, (int, float)) and solver_dt > 0:
+        return max(1, int(round(float(base) / float(solver_dt))))
+    return 1
+
+
 def _probe_buckets(dataset: Dataset, meta: Dict[str, Any], args: Args,
                    max_probe: int = 4) -> Tuple[int, int]:
     trajs = [dataset.trajectory(i) for i in range(min(max_probe,
@@ -133,7 +148,8 @@ def train_network(
         raise ValueError(f"unknown training strategy {strategy!r}")
 
     rollout_valid = jax.jit(make_rollout_fn(
-        model_cfg, spec, solver=args.solver_valid, solver_dt=args.solver_valid_dt,
+        model_cfg, spec, solver=args.solver_valid,
+        solver_substeps=_substeps_for(meta, args.solver_valid_dt),
         types_updated=args.types_updated, types_inflow=args.types_inflow,
     ))
 
@@ -253,7 +269,8 @@ def eval_network(
     params, norm = model["params"], model["norm"]
 
     rollout_fn = jax.jit(make_rollout_fn(
-        model_cfg, spec, solver=solver, solver_dt=dt,
+        model_cfg, spec, solver=solver,
+        solver_substeps=_substeps_for(meta, dt),
         types_updated=args.types_updated, types_inflow=args.types_inflow,
     ))
     node_bucket, edge_bucket = _probe_buckets(dataset, meta, args)

@@ -109,7 +109,9 @@ def _place(dest: np.ndarray, data: np.ndarray, node_idx, coord, tl: int) -> None
             dest[...] = data
     else:
         # single mesh point dataset
-        if data.ndim == 2:  # (T, dim)
+        if data.ndim == 2:  # (T, dim) canonical; (dim, T) accepted
+            if data.shape[0] != tl and data.shape[1] >= tl:
+                data = data.T
             dest[:, node_idx, coord if coord is not None else slice(None)] = data[:tl]
         elif data.ndim == 1:
             if dest.shape[0] > 1 and data.shape[0] >= tl:

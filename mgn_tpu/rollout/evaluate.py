@@ -42,6 +42,7 @@ def make_rollout_fn(
     spec: FieldSpec,
     solver: str = "euler",
     solver_dt: Optional[float] = None,
+    solver_substeps: Optional[int] = None,
     types_updated: Tuple[int, ...] = (0, 5),
     types_inflow: Tuple[int, ...] = (1,),
     rtol: float = 1e-4,
@@ -72,7 +73,8 @@ def make_rollout_fn(
         )
         if solver == "tsit5_adaptive":
             return odeint_tsit5_adaptive(deriv, y0, times, rtol=rtol, atol=atol)
-        return odeint_fixed(deriv, y0, times, dt=solver_dt, method=solver)
+        return odeint_fixed(deriv, y0, times, dt=solver_dt, method=solver,
+                            substeps=solver_substeps)
 
     return rollout
 

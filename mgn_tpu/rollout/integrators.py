@@ -104,21 +104,30 @@ def odeint_fixed(
     dt: float | None = None,
     method: str = "euler",
     remat: bool = False,
+    substeps: int | None = None,
 ) -> jax.Array:
     """Fixed-step integration saving at every ``saveat`` time.
 
-    ``saveat`` must be a uniform grid; ``dt`` (defaulting to the save interval)
-    must divide the save interval.  ``remat=True`` wraps each step in
-    ``jax.checkpoint`` for solver-mode training.  Returns (T_save, ...) with
-    ``out[0] = y0``.
+    ``saveat`` must be a uniform grid; the solver takes ``substeps`` equal
+    steps per save interval (``dt`` is a convenience that derives substeps when
+    ``saveat`` is concrete — pass ``substeps`` explicitly under jit).
+    ``remat=True`` wraps each step in ``jax.checkpoint`` for solver-mode
+    training.  Returns (T_save, ...) with ``out[0] = y0``.
     """
     stepper = FIXED_METHODS[method]
     save_dt = saveat[1] - saveat[0]
-    if dt is None:
-        substeps = 1
-    else:
-        ratio = float(save_dt) / float(dt)
-        substeps = max(1, int(round(ratio)))
+    if substeps is None:
+        if dt is None:
+            substeps = 1
+        else:
+            try:
+                ratio = float(save_dt) / float(dt)
+            except jax.errors.ConcretizationTypeError as e:
+                raise ValueError(
+                    "odeint_fixed: pass `substeps` explicitly when saveat is "
+                    "a traced value (dt cannot be compared under jit)"
+                ) from e
+            substeps = max(1, int(round(ratio)))
 
     def one_save_interval(y, t0):
         h = save_dt / substeps

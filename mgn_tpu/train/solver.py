@@ -70,6 +70,8 @@ def make_solver_trainer(
     strategy = cfg.strategy
     saveat = _save_grid(strategy)
     n_save = saveat.shape[0]
+    substeps = (1 if strategy.solver_dt is None
+                else max(1, int(round(strategy.dt / strategy.solver_dt))))
 
     def accumulate_norms(state: TrainState, template: GraphTemplate,
                          gt_fields: Dict[str, jax.Array],
@@ -131,7 +133,7 @@ def make_solver_trainer(
                 inflow_mask=inflow_mask, forcing_data=gt, forcing_dt=strategy.dt,
             )
             if isinstance(strategy, SolverTraining):
-                pred = odeint_fixed(deriv, gt[0], saveat, dt=strategy.solver_dt,
+                pred = odeint_fixed(deriv, gt[0], saveat, substeps=substeps,
                                     method=strategy.solver, remat=strategy.remat)
                 err = (normalized(pred) - gt_n) ** 2 * vm3
                 return jnp.sum(err) / (denom * n_save)
@@ -144,7 +146,7 @@ def make_solver_trainer(
 
             def window_loss(s, wt):
                 y0 = jax.lax.dynamic_index_in_dim(gt, s, 0, keepdims=False)
-                pred = odeint_fixed(deriv, y0, wt, dt=strategy.solver_dt,
+                pred = odeint_fixed(deriv, y0, wt, substeps=substeps,
                                     method=strategy.solver, remat=strategy.remat)
                 gt_w = jax.lax.dynamic_slice_in_dim(gt, s, strategy.interval_size, 0)
                 gt_w_n = jax.lax.dynamic_slice_in_dim(gt_n, s,
