@@ -127,3 +127,208 @@ def write_synthetic_dataset(
                 g["velocity"] = make_trajectory(pos, node_type, tl, dt, seed + 1000 + k)
                 k += 1
     return meta
+
+
+# --- FlagSimple (cloth) -------------------------------------------------------
+
+def make_flag_mesh(nx: int = 8, ny: int = 6):
+    """Triangulated rectangular cloth sheet.
+
+    Returns (mesh_pos (N,2) reference coords, cells (C,3), node_type (N,)):
+    type 3 = HANDLE (fixed pole edge x=0), 0 = NORMAL cloth.
+    """
+    xs, ys = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 0.6, ny),
+                         indexing="ij")
+    pos = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
+    idx = np.arange(nx * ny).reshape(nx, ny)
+    c = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            c.append([idx[i, j], idx[i + 1, j], idx[i, j + 1]])
+            c.append([idx[i + 1, j], idx[i + 1, j + 1], idx[i, j + 1]])
+    cells = np.asarray(c, np.int32)
+    node_type = np.zeros(nx * ny, np.int32)
+    node_type[idx[0, :]] = 3  # handle: attached edge
+    return pos, cells, node_type
+
+
+def make_flag_trajectory(mesh_pos: np.ndarray, node_type: np.ndarray, tl: int,
+                         dt: float, seed: int = 0) -> np.ndarray:
+    """Waving-cloth world positions (T, N, 3): reference sheet + traveling
+    transverse wave, handle pinned."""
+    rng = np.random.default_rng(seed)
+    amp = 0.1 + 0.1 * rng.random()
+    freq = 2.0 + 2.0 * rng.random()
+    x, y = mesh_pos[:, 0], mesh_pos[:, 1]
+    t = np.arange(tl, dtype=np.float32)[:, None] * dt
+    z = amp * x[None, :] * np.sin(2 * np.pi * (2 * x[None, :] - freq * t))
+    wx = x[None, :] * (1 - 0.1 * amp * np.sin(2 * np.pi * freq * t))
+    world = np.stack([wx, np.broadcast_to(y[None, :], wx.shape), z], -1)
+    world[:, node_type == 3, 2] = 0.0
+    return world.astype(np.float32)
+
+
+def flag_meta(tl: int, n_train: int, n_valid: int, dt: float = 0.02):
+    return {
+        "dt": dt,
+        "trajectory_length": tl,
+        "n_trajectories": n_train,
+        "n_trajectories_valid": n_valid,
+        "dims": 2,  # reference (mesh) space is 2-D; world space is 3-D
+        "world_dim": 3,
+        "world_edges": {"radius": 0.05, "capacity_per_node": 4},
+        "feature_names": ["cells", "mesh_pos", "node_type", "world_pos"],
+        "target_features": ["world_pos"],
+        "features": {
+            "cells": {"type": "static", "dim": 3, "shape": [1, -1, 3],
+                      "dtype": "int32"},
+            "mesh_pos": {"type": "static", "dim": 2, "shape": [1, -1, 2],
+                         "dtype": "float32"},
+            "node_type": {"type": "static", "dim": 1, "shape": [1, -1, 1],
+                          "dtype": "int32", "onehot": True,
+                          "data_min": 0, "data_max": 6},
+            "world_pos": {"type": "dynamic", "dim": 3, "shape": [tl, -1, 3],
+                          "dtype": "float32"},
+        },
+    }
+
+
+def write_flag_dataset(path: str, nx: int = 8, ny: int = 6, tl: int = 30,
+                       n_train: int = 2, n_valid: int = 1, n_test: int = 1,
+                       dt: float = 0.02, seed: int = 0):
+    """FlagSimple-shaped synthetic dataset (cloth with 3-D world dynamics)."""
+    os.makedirs(path, exist_ok=True)
+    pos, cells, node_type = make_flag_mesh(nx, ny)
+    meta = flag_meta(tl, n_train, n_valid, dt)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    k = 0
+    for split, n in (("train", n_train), ("valid", n_valid), ("test", n_test)):
+        with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
+            for i in range(n):
+                g = f.create_group(str(i))
+                g["cells"] = cells
+                g["mesh_pos"] = pos
+                g["node_type"] = node_type[:, None]
+                g["world_pos"] = make_flag_trajectory(pos, node_type, tl, dt,
+                                                      seed + 100 + k)
+                k += 1
+    return meta
+
+
+# --- Airfoil (compressible flow) ---------------------------------------------
+
+def airfoil_meta(tl: int, n_train: int, n_valid: int, dt: float = 0.008):
+    return {
+        "dt": dt,
+        "trajectory_length": tl,
+        "n_trajectories": n_train,
+        "n_trajectories_valid": n_valid,
+        "dims": 2,
+        "feature_names": ["cells", "mesh_pos", "node_type", "velocity",
+                          "density"],
+        "target_features": ["velocity", "density"],
+        "features": {
+            "cells": {"type": "static", "dim": 3, "shape": [1, -1, 3],
+                      "dtype": "int32"},
+            "mesh_pos": {"type": "static", "dim": 2, "shape": [1, -1, 2],
+                         "dtype": "float32"},
+            "node_type": {"type": "static", "dim": 1, "shape": [1, -1, 1],
+                          "dtype": "int32", "onehot": True,
+                          "data_min": 0, "data_max": 6},
+            "velocity": {"type": "dynamic", "dim": 2, "shape": [tl, -1, 2],
+                         "dtype": "float32"},
+            "density": {"type": "dynamic", "dim": 1, "shape": [tl, -1, 1],
+                        "dtype": "float32"},
+        },
+    }
+
+
+def write_airfoil_dataset(path: str, num_nodes: int = 256, tl: int = 20,
+                          n_train: int = 2, n_valid: int = 1, n_test: int = 1,
+                          dt: float = 0.008, seed: int = 0):
+    """Airfoil-shaped synthetic dataset: multi-target (velocity + density)."""
+    os.makedirs(path, exist_ok=True)
+    pos, cells, node_type = make_channel_mesh(num_nodes, seed)
+    meta = airfoil_meta(tl, n_train, n_valid, dt)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    k = 0
+    for split, n in (("train", n_train), ("valid", n_valid), ("test", n_test)):
+        with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
+            for i in range(n):
+                g = f.create_group(str(i))
+                vel = make_trajectory(pos, node_type, tl, dt, seed + 300 + k)
+                g["cells"] = cells
+                g["mesh_pos"] = pos
+                g["node_type"] = node_type[:, None]
+                g["velocity"] = vel
+                # smooth companion density field correlated with speed
+                g["density"] = (1.0 + 0.1 * np.linalg.norm(vel, axis=-1,
+                                                           keepdims=True)
+                                ).astype(np.float32)
+                k += 1
+    return meta
+
+
+# --- DeformingPlate (3-D quasi-static solid with stress head) ----------------
+
+def plate_meta(tl: int, n_train: int, n_valid: int, dt: float = 1.0,
+               dims=(4, 4, 3)):
+    return {
+        "dt": dt,
+        "trajectory_length": tl,
+        "n_trajectories": n_train,
+        "n_trajectories_valid": n_valid,
+        "dims": list(dims),  # structured 3-D grid mesh
+        "feature_names": ["mesh_pos", "node_type", "world_pos", "stress"],
+        "target_features": ["world_pos", "stress"],
+        "features": {
+            "mesh_pos": {"type": "static", "dim": 3, "dtype": "float32"},
+            "node_type": {"type": "static", "dim": 1, "dtype": "int32",
+                          "onehot": True, "data_min": 0, "data_max": 6},
+            "world_pos": {"type": "dynamic", "dim": 3, "dtype": "float32"},
+            # stress is a value head, not a derivative (new capability)
+            "stress": {"type": "dynamic", "dim": 1, "dtype": "float32",
+                       "output_mode": "absolute"},
+        },
+    }
+
+
+def write_plate_dataset(path: str, dims=(4, 4, 3), tl: int = 10,
+                        n_train: int = 2, n_valid: int = 1, n_test: int = 1,
+                        seed: int = 0):
+    """DeformingPlate-shaped synthetic dataset: 3-D grid mesh, quasi-static
+    deformation + stress output head; node type 3 = actuated handle."""
+    os.makedirs(path, exist_ok=True)
+    dims = tuple(int(d) for d in dims)
+    n = int(np.prod(dims))
+    # column-major (Fortran) node order to match the grid linear indexing
+    grid = np.stack(np.meshgrid(*[np.linspace(0, 1, d) for d in dims],
+                                indexing="ij"), -1).reshape(-1, 3, order="F")
+    pos = grid.astype(np.float32)
+    node_type = np.zeros(n, np.int32)
+    node_type[pos[:, 2] > 0.99] = 3  # top layer actuated
+    node_type[pos[:, 2] < 0.01] = 6  # bottom clamped
+    meta = plate_meta(tl, n_train, n_valid, dims=dims)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    rng = np.random.default_rng(seed)
+    k = 0
+    for split, cnt in (("train", n_train), ("valid", n_valid), ("test", n_test)):
+        with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
+            for i in range(cnt):
+                g = f.create_group(str(i))
+                push = 0.1 + 0.2 * rng.random()
+                t = np.linspace(0, 1, tl)[:, None, None]
+                disp = -push * t * pos[None, :, 2:3] * (
+                    1 - 0.5 * pos[None, :, 0:1])
+                world = pos[None] + np.concatenate(
+                    [np.zeros_like(disp), np.zeros_like(disp), disp], -1)
+                stress = (push * t * (1 - pos[None, :, 2:3])).astype(np.float32)
+                g["mesh_pos"] = pos
+                g["node_type"] = node_type[:, None]
+                g["world_pos"] = world.astype(np.float32)
+                g["stress"] = stress[..., 0]
+                k += 1
+    return meta

@@ -59,10 +59,18 @@ def make_deriv_fn(
         values.update(unpack_fields(y, spec))
         graph = assemble_graph(norm, template, values, spec)
         out = apply_mgn(params, graph, model_cfg, row_offsets=template.row_offsets)
-        parts = [
-            norm.output[f].inverse(out[:, sl])
-            for f, sl in zip(spec.target_fields, spec.target_slices())
-        ]
+        parts = []
+        for ti, (f, sl) in enumerate(zip(spec.target_fields,
+                                         spec.target_slices())):
+            pred = norm.output[f].inverse(out[:, sl])
+            if spec.mode(ti) == "absolute":
+                # relax toward the predicted value over one save interval:
+                # Euler with dt=save_dt lands exactly on the prediction
+                assert forcing_dt is not None, \
+                    "absolute output fields need a save interval (forcing_dt)"
+                parts.append((pred - y[..., sl]) / forcing_dt)
+            else:
+                parts.append(pred)
         du = jnp.concatenate(parts, axis=-1)
         return du * val_mask[:, None]
 

@@ -48,6 +48,10 @@ class FieldSpec:
     target_fields: Tuple[str, ...]
     field_dims: Tuple[int, ...]  # dims of `fields`
     target_dims: Tuple[int, ...]  # dims of `target_fields`
+    # per-target output semantics: 'delta' (finite-difference derivative, the
+    # reference's only mode) or 'absolute' (network predicts the value itself —
+    # e.g. the DeformingPlate stress head; new capability)
+    output_modes: Tuple[str, ...] = ()
 
     @classmethod
     def from_meta(cls, meta: Dict[str, Any]) -> "FieldSpec":
@@ -59,7 +63,12 @@ class FieldSpec:
             target_fields=targets,
             field_dims=tuple(int(meta["features"][f]["dim"]) for f in fields),
             target_dims=tuple(int(meta["features"][f]["dim"]) for f in targets),
+            output_modes=tuple(
+                meta["features"][f].get("output_mode", "delta") for f in targets),
         )
+
+    def mode(self, i: int) -> str:
+        return self.output_modes[i] if self.output_modes else "delta"
 
     @property
     def output_dim(self) -> int:

@@ -83,7 +83,11 @@ def make_derivative_trainer(
                 noise = cfg.sigma(ti) * jax.random.normal(keys[ti], frame.shape,
                                                           frame.dtype)
                 frame = frame + noise * noisy_mask[:, None]
-                targets_raw[f] = (nxt - frame) / dt
+                if spec.mode(ti) == "absolute":
+                    # value head (e.g. stress): predict the next value itself
+                    targets_raw[f] = nxt
+                else:
+                    targets_raw[f] = (nxt - frame) / dt
             u[f] = frame
 
         # normalizer accumulation (the trainmode side effect of the reference's
