@@ -118,12 +118,15 @@ def cells_to_edges(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         for j in range(i + 1, k):
             pairs.append(cells[:, [i, j]])
     edges = np.concatenate(pairs, axis=0).astype(np.int64)
-    # canonical undirected form, dedupe, then emit both directions
+    # canonical undirected form, dedupe, then emit both directions;
+    # self-loops (placeholders for excluded nodes, see grid_edges) kept once
     lo = edges.min(axis=1)
     hi = edges.max(axis=1)
     und = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    senders = np.concatenate([und[:, 0], und[:, 1]])
-    receivers = np.concatenate([und[:, 1], und[:, 0]])
+    loops = und[:, 0] == und[:, 1]
+    proper = und[~loops]
+    senders = np.concatenate([proper[:, 0], proper[:, 1], und[loops, 0]])
+    receivers = np.concatenate([proper[:, 1], proper[:, 0], und[loops, 1]])
     return senders.astype(np.int32), receivers.astype(np.int32)
 
 
@@ -248,20 +251,30 @@ def build_template(
     if node_type.shape[0] != n:
         raise ValueError(f"mesh_pos has {n} nodes but node_type has {node_type.shape[0]}")
 
+    from mgn_tpu.ops import native
+
     if cells is not None:
         conn = np.asarray(cells)
         if conn.min() == 1 and conn.max() == n:
             conn = conn - 1
-        senders, receivers = cells_to_edges(conn)
+        if native.available():
+            # native path returns receiver-sorted edges directly
+            senders, receivers = native.cells_to_edges_native(conn)
+        else:
+            senders, receivers = cells_to_edges(conn)
+            senders, receivers = sort_edges_by_receiver(senders, receivers)
     elif edges is not None:
         conn = np.asarray(edges)
         if conn.min() == 1 and conn.max() == n:
             conn = conn - 1
-        senders, receivers = parse_edges(conn)
+        if native.available():
+            senders, receivers = native.cells_to_edges_native(
+                conn if conn.shape[1] == 2 else conn.T)
+        else:
+            senders, receivers = parse_edges(conn)
+            senders, receivers = sort_edges_by_receiver(senders, receivers)
     else:
         raise ValueError("need cells or edges to build graph connectivity")
-
-    senders, receivers = sort_edges_by_receiver(senders, receivers)
     e = senders.shape[0]
 
     n_pad = node_bucket or bucket_size(n + 1, bucket_multiple)
