@@ -128,13 +128,19 @@ def train_network(
     delta = get_delta(strategy, tl)
     node_bucket, edge_bucket = _probe_buckets(dataset, meta, args)
 
+    batch = args.batchsize if isinstance(strategy, DerivativeTraining) else 1
     if isinstance(strategy, DerivativeTraining):
         tcfg = DerivativeTrainerConfig(
             model=model_cfg, spec=spec, noise_stddevs=noise,
             types_updated=args.types_updated, types_noisy=args.types_noisy,
             norm_steps=args.norm_steps,
         )
-        trainer = jax.jit(make_derivative_trainer(tcfg, opt))
+        if batch > 1:
+            from mgn_tpu.train.derivative import make_batched_derivative_trainer
+
+            trainer = jax.jit(make_batched_derivative_trainer(tcfg, opt))
+        else:
+            trainer = jax.jit(make_derivative_trainer(tcfg, opt))
     elif isinstance(strategy, (SolverTraining, MultipleShooting)):
         from mgn_tpu.train.solver import SolverTrainerConfig, make_solver_trainer
 
@@ -160,29 +166,47 @@ def train_network(
     t_last = time.time()
     prepared_cache: Dict[int, PreparedTrajectory] = {}
 
-    while int(state.step) < total_steps:
-        i = traj_idx % dataset.num_trajectories
-        if i in prepared_cache:
-            prep = prepared_cache[i]
-        else:
-            prep = prepare_trajectory(dataset.trajectory(i), meta, spec,
-                                      node_bucket, edge_bucket)
-            prepared_cache[i] = prep
-        traj_idx += 1
+    def get_prep(i):
+        i = i % dataset.num_trajectories
+        if i not in prepared_cache:
+            prepared_cache[i] = prepare_trajectory(
+                dataset.trajectory(i), meta, spec, node_bucket, edge_bucket)
+        return prepared_cache[i]
 
-        if isinstance(strategy, DerivativeTraining):
-            n_frames = prep.num_steps - 1
-            if strategy.random:
-                perm = rng.permutation(n_frames)[:delta]
-            else:
-                perm = np.arange(min(delta, n_frames))
-            perm = jnp.asarray(perm, jnp.int32)
+    def sample_perm(prep):
+        n_frames = prep.num_steps - 1
+        if strategy.random:
+            return rng.permutation(n_frames)[:delta]
+        return np.arange(min(delta, n_frames))
+
+    while int(state.step) < total_steps:
+        prep = get_prep(traj_idx)
+
+        if isinstance(strategy, DerivativeTraining) and batch > 1:
+            preps = [get_prep(traj_idx + b) for b in range(batch)]
+            traj_idx += batch
+            templates = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                     *[p.template for p in preps])
+            fields_b = {f: jnp.stack([p.fields[f] for p in preps])
+                        for f in spec.fields}
+            times_b = jnp.stack([p.times for p in preps])
+            perms = jnp.asarray(np.stack([sample_perm(p) for p in preps], 1),
+                                jnp.int32)  # (delta, B)
+            key = jax.random.PRNGKey(rng.integers(2**31))
+            state, losses = trainer(state, templates, fields_b, times_b,
+                                    perms, key)
+            losses = np.asarray(losses)
+            n_done = perms.shape[0]
+        elif isinstance(strategy, DerivativeTraining):
+            traj_idx += 1
+            perm = jnp.asarray(sample_perm(prep), jnp.int32)
             key = jax.random.PRNGKey(rng.integers(2**31))
             state, losses = trainer(state, prep.template, prep.fields,
                                     prep.times, perm, key)
             losses = np.asarray(losses)
             n_done = len(perm)
         else:
+            traj_idx += 1
             key = jax.random.PRNGKey(rng.integers(2**31))
             state, loss = trainer(state, prep.template, prep.fields,
                                   prep.times, key)

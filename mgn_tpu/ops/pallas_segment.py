@@ -97,22 +97,110 @@ def _kernel(
 
         recv_all = recv_buf[slot]  # (TE//128, 128)
         data_all = data_buf[slot]  # (TE, F)
+        # f32 inputs need HIGHEST (full-f32 MXU passes) so the scatter-add is
+        # exact, not bf16-rounded; bf16 inputs are already rounded and
+        # accumulate exactly into f32 at DEFAULT precision.
+        precision = (jax.lax.Precision.HIGHEST
+                     if data_all.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
         for s in range(sub):
             recv_row = recv_all[s : s + 1, :]  # (1, 128)
-            onehot = (recv_row == ids).astype(jnp.float32)  # (TN, 128)
-            # HIGHEST: full-f32 MXU passes — the scatter-add must be exact in
-            # f32, not bf16-rounded (activation-parity requirement)
+            onehot = (recv_row == ids).astype(data_all.dtype)  # (TN, 128)
             acc_ref[:] += jax.lax.dot_general(
                 onehot,
-                data_all[s * _LANE : (s + 1) * _LANE, :].astype(jnp.float32),
+                data_all[s * _LANE : (s + 1) * _LANE, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
                 preferred_element_type=jnp.float32,
             )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
     out_ref[:] = acc_ref[:]
+
+
+def _kernel_vmem(
+    starts_ref,  # scalar prefetch: (num_blocks,) int32 (LANE-aligned starts)
+    nchunks_ref,  # scalar prefetch: (num_blocks,) int32 (128-edge chunks)
+    data_ref,  # VMEM: (E_pad, F) — entire edge array resident
+    recv_ref,  # VMEM: (E_pad // 128, 128) int32
+    out_ref,  # VMEM block: (TN, F) float32
+    acc_ref,  # VMEM scratch: (TN, F) float32
+    *,
+    block_nodes: int,
+):
+    """Small-graph fast path: everything VMEM-resident, no manual DMA.
+
+    Grid over node blocks; each block sweeps its (128-edge-aligned) CSR range
+    with dynamic VMEM slices and accumulates one-hot matmuls.  For graphs
+    whose edge array fits in VMEM this removes all DMA orchestration overhead
+    — the dominant cost at cylinder-flow scale.
+    """
+    i = pl.program_id(0)
+    start = starts_ref[i]
+    nchunks = nchunks_ref[i]
+    node_base = i * block_nodes
+
+    ids = node_base + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, _LANE), 0
+    )
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if data_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def body(k, _):
+        row = start // _LANE + k
+        recv_row = recv_ref[pl.ds(row, 1), :]  # (1, 128)
+        onehot = (recv_row == ids).astype(data_ref.dtype)  # (TN, 128)
+        chunk = data_ref[pl.ds(row * _LANE, _LANE), :]  # (128, F)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, chunk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[:] = acc_ref[:]
+
+
+def _forward_vmem(data, receivers, row_offsets, num_segments, block_nodes,
+                  interpret):
+    e_pad, f = data.shape
+    n_pad = num_segments
+    num_blocks = n_pad // block_nodes
+    blk_start = row_offsets[0 : n_pad : block_nodes]
+    blk_end = row_offsets[block_nodes : n_pad + 1 : block_nodes]
+    starts = (blk_start // _LANE) * _LANE
+    nchunks = pl.cdiv(blk_end - starts, _LANE).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((e_pad, f), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_pad // _LANE, _LANE), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_nodes, f), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_nodes, f), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_vmem, block_nodes=block_nodes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), nchunks, data,
+      receivers.reshape(e_pad // _LANE, _LANE))
+
+
+# Edge arrays up to this many bytes use the VMEM-resident kernel.
+_VMEM_BYTES_LIMIT = 6 * 1024 * 1024
 
 
 def _forward(
@@ -129,6 +217,9 @@ def _forward(
     assert n_pad % block_nodes == 0, (n_pad, block_nodes)
     assert e_pad % block_edges == 0, (e_pad, block_edges)
     assert block_edges % _LANE == 0
+    if e_pad * f * data.dtype.itemsize <= _VMEM_BYTES_LIMIT:
+        return _forward_vmem(data, receivers, row_offsets, num_segments,
+                             block_nodes, interpret)
     num_blocks = n_pad // block_nodes
 
     # Per-node-block edge ranges, chunk-aligned (host-free, jit-friendly).

@@ -55,6 +55,13 @@ def make_rollout_fn(
     Equivalent of the reference ``rollout`` (/root/reference/src/solve.jl:42-68).
     """
 
+    from mgn_tpu.rollout.integrators import FIXED_METHODS
+
+    if solver != "tsit5_adaptive" and solver not in FIXED_METHODS:
+        raise ValueError(
+            f"unknown solver {solver!r}; choose one of "
+            f"{sorted(FIXED_METHODS)} or 'tsit5_adaptive'")
+
     def rollout(params, norm: NormState, template: GraphTemplate,
                 fields: Dict[str, jax.Array], times: jax.Array) -> jax.Array:
         node_mask = template.node_mask

@@ -35,7 +35,8 @@ from mgn_tpu.models.mgn import MGNConfig, apply_mgn
 from mgn_tpu.train.common import (FieldSpec, NormState, TrainState,
                                   assemble_graph, masked_mse, type_mask)
 
-__all__ = ["DerivativeTrainerConfig", "make_derivative_trainer"]
+__all__ = ["DerivativeTrainerConfig", "make_derivative_trainer",
+           "make_batched_derivative_trainer"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,5 +146,102 @@ def make_derivative_trainer(
             return st, loss
 
         return jax.lax.scan(body, state, perm)
+
+    return train_window
+
+
+def make_batched_derivative_trainer(
+    cfg: DerivativeTrainerConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Batched variant: B trajectories per optimizer step (single-host data
+    parallelism via vmap — the implemented ``batchsize`` the reference only
+    documents, /root/reference/src/MeshGraphNets.jl:224).
+
+    ``train_window(state, templates, fields, times, perms, key)`` where every
+    GraphTemplate leaf and field array has a leading batch axis B,
+    ``perms`` is (delta, B) frame indices, and each scanned step consumes one
+    frame from every trajectory (loss averaged, one update).
+    """
+    spec = cfg.spec
+
+    def prepare(template: GraphTemplate, fields, times, t, key):
+        node_mask = template.node_mask
+        update_mask = type_mask(template.node_type, cfg.types_updated) & node_mask
+        noisy_mask = type_mask(template.node_type, cfg.types_noisy) & node_mask
+        dt = times[t + 1] - times[t]
+        u, targets_raw = {}, {}
+        keys = jax.random.split(key, max(len(spec.target_fields), 1))
+        for f in spec.fields:
+            frame = jax.lax.dynamic_index_in_dim(fields[f], t, 0, keepdims=False)
+            if f in spec.target_fields:
+                ti = spec.target_fields.index(f)
+                nxt = jax.lax.dynamic_index_in_dim(fields[f], t + 1, 0,
+                                                   keepdims=False)
+                noise = cfg.sigma(ti) * jax.random.normal(keys[ti], frame.shape)
+                frame = frame + noise * noisy_mask[:, None]
+                if spec.mode(ti) == "absolute":
+                    targets_raw[f] = nxt
+                else:
+                    targets_raw[f] = (nxt - frame) / dt
+            u[f] = frame
+        return u, targets_raw, update_mask
+
+    def one_batch_step(templates: GraphTemplate, fields, times,
+                       state: TrainState, ts: jax.Array, key: jax.Array):
+        b = ts.shape[0]
+        keys = jax.random.split(key, b)
+        u_b, targets_b, update_mask_b = jax.vmap(
+            prepare, in_axes=(0, 0, 0, 0, 0))(templates, fields, times, ts, keys)
+
+        def flat(x):  # (B, N, d) -> (B*N, d)
+            return x.reshape(-1, x.shape[-1])
+
+        node_mask_b = templates.node_mask  # (B, N)
+        node_norms = dict(state.norm.node)
+        for f in spec.fields:
+            node_norms[f] = N.accumulate(node_norms[f], flat(u_b[f]),
+                                         node_mask_b.reshape(-1))
+        out_norms = dict(state.norm.output)
+        for f in spec.target_fields:
+            out_norms[f] = N.accumulate(out_norms[f], flat(targets_b[f]),
+                                        node_mask_b.reshape(-1))
+        edge_norm = N.accumulate(
+            state.norm.edge, flat(templates.mesh_edge_features),
+            templates.edge_mask.reshape(-1))
+        norm = NormState(edge=edge_norm, node=node_norms, output=out_norms)
+
+        target_b = jnp.concatenate(
+            [jax.vmap(norm.output[f])(targets_b[f]) for f in spec.target_fields],
+            axis=-1)
+
+        def loss_fn(params):
+            def per_traj(template, u, target, update_mask):
+                graph = assemble_graph(norm, template, u, spec)
+                out = apply_mgn(params, graph, cfg.model,
+                                row_offsets=template.row_offsets)
+                m = update_mask.astype(jnp.float32)
+                sq = jnp.sum(jnp.sum((out - target) ** 2, -1) * m)
+                return sq, jnp.sum(m)
+
+            sqs, cnts = jax.vmap(per_traj)(templates, u_b, target_b,
+                                           update_mask_b)
+            return jnp.sum(sqs) / jnp.maximum(jnp.sum(cnts), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        do_update = state.step >= cfg.norm_steps
+        sel = lambda a, c: jax.tree.map(
+            lambda x, y: jnp.where(do_update, x, y), a, c)
+        return TrainState(params=sel(new_params, state.params),
+                          opt_state=sel(new_opt, state.opt_state),
+                          norm=norm, step=state.step + 1), loss
+
+    def train_window(state, templates, fields, times, perms, key):
+        def body(st, ts):
+            k = jax.random.fold_in(key, st.step)
+            return one_batch_step(templates, fields, times, st, ts, k)
+
+        return jax.lax.scan(body, state, perms)
 
     return train_window

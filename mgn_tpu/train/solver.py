@@ -165,7 +165,13 @@ def make_solver_trainer(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        do_update = state.step >= cfg.norm_steps
+        # divergence guard: a non-finite solve skips the update entirely (the
+        # reference returns Inf loss on solver failure,
+        # /root/reference/src/strategies.jl:358-361)
+        finite = jnp.isfinite(loss) & jax.tree.reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads))
+        do_update = (state.step >= cfg.norm_steps) & finite
         sel = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(do_update, x, y), a, b)
         return TrainState(

@@ -63,3 +63,13 @@ def test_pallas_csr_under_jit():
     data, recv, row = make_case(rng, 100, 128, 700, 768, 8)
     f = jax.jit(lambda d: csr_segment_sum(d, recv, row, 128))
     assert np.allclose(np.asarray(f(data)), dense_ref(data, recv, 128), atol=1e-4)
+
+
+def test_pallas_hbm_path_matches_dense(monkeypatch):
+    """Force the double-buffered HBM kernel (large-graph path)."""
+    import mgn_tpu.ops.pallas_segment as ps
+    monkeypatch.setattr(ps, "_VMEM_BYTES_LIMIT", 0)
+    rng = np.random.default_rng(5)
+    data, recv, row = make_case(rng, 100, 128, 700, 768, 128)
+    out = csr_segment_sum(data, recv, row, 128, block_nodes=128, block_edges=256)
+    assert np.allclose(np.asarray(out), dense_ref(data, recv, 128), atol=1e-4)

@@ -74,3 +74,56 @@ def test_online_norm_cap_respected(setup):
                     jax.random.PRNGKey(0))
     cap = float(st.norm.node["velocity"].max_acc)
     assert cap == 10e6
+
+
+def test_batched_trainer_matches_semantics(setup):
+    """B=2 batched trainer runs, accumulates 2x stats, and learns."""
+    import optax
+    from mgn_tpu.train.derivative import make_batched_derivative_trainer
+    from mgn_tpu.api import init_state
+    from mgn_tpu.config import Args
+    from mgn_tpu.data.pipeline import load_dataset
+
+    state, trainer_unused, prep, spec = setup
+    opt = optax.adam(1e-3)
+    tcfg = DerivativeTrainerConfig(model=None, spec=spec, noise_stddevs=(0.0,),
+                                   norm_steps=0)
+    # rebuild cfg with the model config from setup's state-producing args
+    from mgn_tpu.models.mgn import MGNConfig
+    mcfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                     latent_size=16, hidden_layers=1, message_passing_steps=2)
+    tcfg = DerivativeTrainerConfig(model=mcfg, spec=spec, noise_stddevs=(0.0,),
+                                   norm_steps=0)
+    from mgn_tpu.models.mgn import init_mgn
+    import jax.numpy as jnp
+    params = init_mgn(jax.random.PRNGKey(0), mcfg)
+    st = state.replace(params=params, opt_state=opt.init(params))
+
+    trainer = jax.jit(make_batched_derivative_trainer(tcfg, opt))
+    templates = jax.tree.map(lambda x: jnp.stack([x, x]), prep.template)
+    fields = {f: jnp.stack([v, v]) for f, v in prep.fields.items()}
+    times = jnp.stack([prep.times, prep.times])
+    perms = jnp.asarray(np.stack([np.arange(5), np.arange(5)], 1), jnp.int32)
+    st2, losses = trainer(st, templates, fields, times, perms,
+                          jax.random.PRNGKey(0))
+    assert losses.shape == (5,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(st2.step) == 5
+    # stats counted per trajectory: 2x nodes per step vs single trainer
+    per_step = float(st2.norm.node["velocity"].num_accumulations) / 5
+    assert per_step == 2 * prep.num_nodes
+
+
+def test_train_network_batchsize(tmp_path):
+    import optax
+    from mgn_tpu import train_network
+
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=48, tl=10, n_train=3, n_valid=1,
+                            n_test=1)
+    state, _ = train_network(
+        0.0, optax.adam(1e-3), d, str(tmp_path / "cp"),
+        mps=1, layer_size=8, hidden_layers=1, norm_steps=2, steps=30,
+        checkpoint=1000, batchsize=2, solver_valid="euler", seed=0)
+    assert int(state.step) >= 30
