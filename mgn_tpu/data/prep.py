@@ -69,6 +69,15 @@ def prepare_trajectory(
         type_min=tmin, type_max=tmax,
         node_bucket=node_bucket, edge_bucket=edge_bucket,
     )
+    # validate the banded-aggregation window capacity (TPU default backend)
+    from mgn_tpu.ops.banded import required_band
+
+    need = required_band(np.asarray(template.row_offsets), template.num_nodes)
+    if need > 2048:
+        raise ValueError(
+            f"graph has a 128-node block spanning {need} edges (> banded "
+            "aggregation capacity 2048); use aggregation_backend='xla' or "
+            "'pallas' for this mesh")
     n_pad = template.num_nodes
     fields = {}
     for f in spec.fields:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mgn_tpu.core.graph import MeshGraph
-from mgn_tpu.models.mlp import apply_mlp, init_mlp
+from mgn_tpu.models.mlp import apply_mlp, apply_mlp_parts, init_mlp
 from mgn_tpu.ops.segment import gather, segment_sum
 
 __all__ = ["MGNConfig", "init_mgn", "apply_mgn"]
@@ -94,7 +94,9 @@ def apply_mgn(
         v, e = carry
         vs = gather(v, graph.senders)
         vr = gather(v, graph.receivers)
-        msg = apply_mlp(block_params["edge_mlp"], jnp.concatenate([e, vs, vr], -1), dt)
+        # apply_mlp_parts: no (E, 3L) concat materialization — the first-layer
+        # weights are sliced per input part
+        msg = apply_mlp_parts(block_params["edge_mlp"], (e, vs, vr), dt)
         msg = msg * edge_valid  # dead (padded) edges contribute nothing
         agg = segment_sum(
             msg,
@@ -103,7 +105,7 @@ def apply_mgn(
             row_offsets=row_offsets,
             backend=cfg.aggregation_backend,
         ).astype(dt)
-        upd = apply_mlp(block_params["node_mlp"], jnp.concatenate([v, agg], -1), dt)
+        upd = apply_mlp_parts(block_params["node_mlp"], (v, agg), dt)
         return (v + upd, e + msg), None
 
     (v, e), _ = jax.lax.scan(block, (v, e), params["processor"])

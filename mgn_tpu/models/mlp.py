@@ -14,7 +14,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_mlp", "apply_mlp"]
+__all__ = ["init_mlp", "apply_mlp", "apply_mlp_parts"]
 
 
 def _glorot_uniform(key, shape, dtype=jnp.float32):
@@ -46,6 +46,47 @@ def init_mlp(
         params["ln_scale"] = jnp.ones((out_dim,), jnp.float32)
         params["ln_bias"] = jnp.zeros((out_dim,), jnp.float32)
     return params
+
+
+def apply_mlp_parts(
+    params: Dict[str, Any], parts, compute_dtype=jnp.float32
+) -> jax.Array:
+    """Forward pass on a conceptual ``concat(parts, -1)`` input WITHOUT
+    materializing the concatenation: the first-layer weight matrix is sliced
+    per part and the contributions summed (``[a,b,c] @ W == a@Wa + b@Wb +
+    c@Wc``).  Saves an HBM round-trip of the wide concat buffer per call —
+    the processor blocks call this 2x per round."""
+    w0 = params["w"][0]
+    h = None
+    off = 0
+    for p in parts:
+        d = p.shape[-1]
+        contrib = jnp.dot(
+            p.astype(compute_dtype),
+            w0[off : off + d].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h = contrib if h is None else h + contrib
+        off += d
+    assert off == w0.shape[0], (off, w0.shape)
+    h = h.astype(compute_dtype) + params["b"][0].astype(compute_dtype)
+    n = len(params["w"])
+    for i in range(1, n):
+        h = jax.nn.relu(h)
+        w = params["w"][i].astype(compute_dtype)
+        b = params["b"][i].astype(compute_dtype)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(compute_dtype) + b
+    if "ln_scale" in params:
+        h = _layer_norm(h, params)
+    return h
+
+
+def _layer_norm(h, params):
+    h32 = h.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    h32 = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (h32 * params["ln_scale"] + params["ln_bias"]).astype(h.dtype)
 
 
 def apply_mlp(

@@ -28,9 +28,9 @@ _DEFAULT_BACKEND = "auto"
 
 
 def set_default_backend(name: str) -> None:
-    """Set the global aggregation backend: 'auto' | 'xla' | 'pallas'."""
+    """Set the global aggregation backend: 'auto' | 'xla' | 'pallas' | 'banded'."""
     global _DEFAULT_BACKEND
-    if name not in ("auto", "xla", "pallas"):
+    if name not in ("auto", "xla", "pallas", "banded"):
         raise ValueError(f"unknown backend {name!r}")
     _DEFAULT_BACKEND = name
 
@@ -43,7 +43,7 @@ def _resolve(backend: Optional[str]) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
         platform = jax.default_backend()
-        b = "pallas" if platform == "tpu" else "xla"
+        b = "banded" if platform == "tpu" else "xla"
     return b
 
 
@@ -59,14 +59,23 @@ def segment_sum(
     row_offsets: Optional[jax.Array] = None,
     indices_are_sorted: bool = True,
     backend: Optional[str] = None,
+    band: int = 2048,
 ) -> jax.Array:
     """Scatter-add edge rows into node rows: out[n] = sum_{e: seg[e]==n} data[e].
 
-    ``row_offsets`` (CSR, (num_segments+1,)) enables the Pallas TPU kernel;
-    without it the XLA scatter path is used.
+    ``row_offsets`` (CSR, (num_segments+1,)) enables the TPU-native backends
+    ('banded' — batched MXU matmuls, the default on TPU — or 'pallas');
+    without it the XLA scatter path is used.  ``band`` is the banded backend's
+    per-128-node edge-window capacity (validated at template build).
     """
     b = _resolve(backend)
-    if b == "pallas" and row_offsets is not None:
+    if row_offsets is not None and b in ("banded", "pallas"):
+        if b == "banded":
+            from mgn_tpu.ops.banded import banded_segment_sum
+
+            # a band of the whole edge array is always valid for small graphs
+            return banded_segment_sum(data, segment_ids, row_offsets,
+                                      num_segments, min(band, data.shape[0]))
         from mgn_tpu.ops.pallas_segment import csr_segment_sum
 
         return csr_segment_sum(data, segment_ids, row_offsets, num_segments)

@@ -73,3 +73,37 @@ def test_pallas_hbm_path_matches_dense(monkeypatch):
     data, recv, row = make_case(rng, 100, 128, 700, 768, 128)
     out = csr_segment_sum(data, recv, row, 128, block_nodes=128, block_edges=256)
     assert np.allclose(np.asarray(out), dense_ref(data, recv, 128), atol=1e-4)
+
+
+def test_banded_matches_dense():
+    from mgn_tpu.ops.banded import banded_segment_sum, required_band
+
+    rng = np.random.default_rng(7)
+    data, recv, row = make_case(rng, 200, 256, 1500, 1536, 128)
+    band = required_band(np.asarray(row), 256)
+    out = banded_segment_sum(data, recv, row, 256, max(band, 128))
+    assert np.allclose(np.asarray(out), dense_ref(data, recv, 256), atol=1e-4)
+    # full-array band also valid
+    out2 = banded_segment_sum(data, recv, row, 256, data.shape[0])
+    assert np.allclose(np.asarray(out2), dense_ref(data, recv, 256), atol=1e-4)
+
+
+def test_banded_grad_is_gather():
+    from mgn_tpu.ops.banded import banded_segment_sum
+
+    rng = np.random.default_rng(8)
+    data, recv, row = make_case(rng, 100, 128, 700, 768, 8)
+
+    def loss(d):
+        return jnp.sum(banded_segment_sum(d, recv, row, 128, 768) ** 2)
+
+    g = jax.grad(loss)(data)
+    expect = 2 * dense_ref(data, recv, 128)[np.asarray(recv)]
+    assert np.allclose(np.asarray(g), expect, atol=1e-4)
+
+
+def test_backend_dispatch_banded():
+    rng = np.random.default_rng(9)
+    data, recv, row = make_case(rng, 100, 128, 700, 768, 16)
+    out = segment_sum(data, recv, 128, row_offsets=row, backend="banded")
+    assert np.allclose(np.asarray(out), dense_ref(data, recv, 128), atol=1e-4)
