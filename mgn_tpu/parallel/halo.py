@@ -26,7 +26,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from mgn_tpu.models.mlp import apply_mlp
+from mgn_tpu.models.mlp import apply_mlp, apply_mlp_parts
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.ops.segment import segment_sum
 
@@ -44,31 +44,53 @@ def apply_mgn_sharded(
     cfg: MGNConfig,
     axis_name: str,
     row_offsets: Optional[jax.Array] = None,
+    halo_serve: Optional[jax.Array] = None,  # (P, H) this part's serve slots
+    senders_halo: Optional[jax.Array] = None,  # (E_p,) extended-table indices
 ) -> jax.Array:
     """Per-shard forward pass; call inside shard_map over ``axis_name``.
+
+    Two exchange modes per processor round:
+
+    - **all-gather** (default): gather every part's latents, index globally.
+    - **halo** (when ``halo_serve``/``senders_halo`` given, see
+      ``partition.add_halo_plan``): exchange only the boundary latents each
+      neighbor actually references via one ``all_to_all`` — bytes on the wire
+      drop from ``P*N_p*L`` to ``P*H*L`` per round.
 
     Returns the local shard of decoded outputs (N_p, output_dim) float32.
     """
     dt = cfg.compute_dtype
     n_p = node_features.shape[0]
     edge_valid = edge_mask.astype(dt)[:, None]
+    use_halo = halo_serve is not None and senders_halo is not None
 
     v = apply_mlp(params["node_encoder"], node_features, dt)
     e = apply_mlp(params["edge_encoder"], edge_features, dt) * edge_valid
 
+    def exchange(v):
+        if use_halo:
+            send = jnp.take(v, halo_serve.reshape(-1), axis=0)  # (P*H, L)
+            p = halo_serve.shape[0]
+            send = send.reshape(p, halo_serve.shape[1], -1)
+            recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            # recv[q] = latents this part requested from part q
+            ext = jnp.concatenate([v, recv.reshape(-1, v.shape[1])], axis=0)
+            return jnp.take(ext, senders_halo, axis=0)
+        v_full = jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
+        return jnp.take(v_full, senders_global, axis=0)
+
     def block(carry, block_params):
         v, e = carry
-        # activation all-gather over the graph axis: (P*N_p, L)
-        v_full = jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
-        vs = jnp.take(v_full, senders_global, axis=0)
+        vs = exchange(v)
         vr = jnp.take(v, receivers_local, axis=0)
-        msg = apply_mlp(block_params["edge_mlp"], jnp.concatenate([e, vs, vr], -1), dt)
+        msg = apply_mlp_parts(block_params["edge_mlp"], (e, vs, vr), dt)
         msg = msg * edge_valid
         agg = segment_sum(
             msg, receivers_local, n_p, row_offsets=row_offsets,
             backend=cfg.aggregation_backend,
         ).astype(dt)
-        upd = apply_mlp(block_params["node_mlp"], jnp.concatenate([v, agg], -1), dt)
+        upd = apply_mlp_parts(block_params["node_mlp"], (v, agg), dt)
         return (v + upd, e + msg), None
 
     (v, e), _ = jax.lax.scan(block, (v, e), params["processor"])

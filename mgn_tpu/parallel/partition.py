@@ -27,7 +27,8 @@ import numpy as np
 from mgn_tpu.core.graph import (GraphTemplate, bucket_size, csr_row_offsets,
                                 relative_mesh_features)
 
-__all__ = ["PartitionedTemplate", "bisect_partition", "partition_template"]
+__all__ = ["PartitionedTemplate", "bisect_partition", "partition_template",
+           "add_halo_plan"]
 
 
 @dataclasses.dataclass
@@ -45,6 +46,13 @@ class PartitionedTemplate:
     perm: np.ndarray  # (N,) original node id -> position in reordered order
     num_parts: int
     part_nodes: int  # N_p
+    # --- boundary-halo exchange plan (None until add_halo_plan) -------------
+    # halo_serve[p, q, H]: local slots part p sends to part q each round
+    halo_serve: Optional[np.ndarray] = None  # (P, P, H) int32
+    halo_serve_mask: Optional[np.ndarray] = None  # (P, P, H) bool
+    # senders_halo[p, e]: index into [own (N_p) ; halo (P*H)] extended table
+    senders_halo: Optional[np.ndarray] = None  # (P, E_p) int32
+    halo_size: int = 0  # H
 
     @property
     def num_nodes_padded(self) -> int:
@@ -159,3 +167,64 @@ def partition_template(
         num_parts=num_parts,
         part_nodes=n_p,
     )
+
+
+def add_halo_plan(pt: PartitionedTemplate,
+                  halo_multiple: int = 8) -> PartitionedTemplate:
+    """Precompute the boundary-halo exchange plan (host-side, once).
+
+    For each ordered part pair (p, q) the plan records which of p's local node
+    slots part q's edges reference ("p serves q"); per round the devices
+    exchange only those boundary latents via one ``all_to_all`` instead of
+    all-gathering every node (SURVEY.md §2.3 overlap engine).  Sender indices
+    are rewritten into the extended table ``[own nodes ; received halo]``.
+    """
+    P, n_p = pt.num_parts, pt.part_nodes
+    # requests[p][q] = sorted unique local-slots-of-q referenced by p's edges
+    requests = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
+    for p in range(P):
+        e = pt.edge_mask[p]
+        sg = pt.senders_global[p][e].astype(np.int64)
+        owner = sg // n_p
+        local = sg % n_p
+        for q in range(P):
+            if q == p:
+                continue
+            requests[p][q] = np.unique(local[owner == q])
+    h = max((len(requests[p][q]) for p in range(P) for q in range(P)),
+            default=0)
+    h = max(halo_multiple, int(-(-h // halo_multiple) * halo_multiple))
+
+    serve = np.zeros((P, P, h), np.int32)
+    serve_mask = np.zeros((P, P, h), bool)
+    for p in range(P):
+        for q in range(P):
+            req = requests[q][p]  # q requests these local slots OF p
+            serve[p, q, : len(req)] = req
+            serve_mask[p, q, : len(req)] = True
+
+    # extended-table sender indices: own slot, or N_p + q*h + pos-in-request
+    senders_halo = np.zeros_like(pt.senders_global)
+    for p in range(P):
+        sg = pt.senders_global[p].astype(np.int64)
+        owner = sg // n_p
+        local = sg % n_p
+        out = np.zeros_like(sg)
+        own = owner == p
+        out[own] = local[own]
+        for q in range(P):
+            if q == p:
+                continue
+            sel = owner == q
+            if not sel.any():
+                continue
+            pos = np.searchsorted(requests[p][q], local[sel])
+            out[sel] = n_p + q * h + pos
+        # dead edges (sender at the global padded tail) point at own padded slot
+        dead = ~pt.edge_mask[p]
+        out[dead] = n_p - 1
+        senders_halo[p] = out.astype(np.int32)
+
+    return dataclasses.replace(pt, halo_serve=serve,
+                               halo_serve_mask=serve_mask,
+                               senders_halo=senders_halo, halo_size=h)

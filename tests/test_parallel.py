@@ -134,3 +134,54 @@ def test_spmd_derivative_step_runs():
     assert diff > 0
     # normalizer stats identical across shards by construction (replicated out)
     assert float(st.norm.edge.num_accumulations) > 0
+
+
+def test_halo_exchange_matches_allgather():
+    """Boundary-only all_to_all halo == full all-gather exchange."""
+    from mgn_tpu.parallel.partition import add_halo_plan
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from mgn_tpu.parallel.halo import apply_mgn_sharded
+
+    pos, cells, nt, s, r, pt = small_setup(num_parts=4)
+    pt = add_halo_plan(pt)
+    assert pt.halo_size > 0
+    n = len(pos)
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1, message_passing_steps=3,
+                    aggregation_backend="xla")
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    gids = _global_ids(pt, n)
+    rng = np.random.default_rng(1)
+    nf_real = rng.normal(size=(n, 9)).astype(np.float32)
+    nfp = np.zeros((pt.num_parts * pt.part_nodes, 9), np.float32)
+    nfp[gids] = nf_real
+    nfp = nfp.reshape(pt.num_parts, pt.part_nodes, 9)
+
+    mesh = make_device_mesh(1, 4)
+
+    def run(mode):
+        def f(nf_s, ef_s, sg, rl, nm, em, hs, sh):
+            kwargs = {}
+            if mode == "halo":
+                kwargs = dict(halo_serve=hs[0], senders_halo=sh[0])
+            out = apply_mgn_sharded(params, nf_s[0], ef_s[0], sg[0], rl[0],
+                                    nm[0], em[0], cfg, axis_name="graph",
+                                    **kwargs)
+            return out[None]
+
+        fn = shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 8,
+                       out_specs=P("graph"), check_rep=False)
+        return np.asarray(fn(
+            jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
+            jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
+            jnp.asarray(pt.node_mask), jnp.asarray(pt.edge_mask),
+            jnp.asarray(pt.halo_serve), jnp.asarray(pt.senders_halo),
+        )).reshape(-1, 2)
+
+    out_ag = run("allgather")
+    out_halo = run("halo")
+    assert np.allclose(out_halo, out_ag, atol=1e-5), \
+        np.abs(out_halo - out_ag).max()
+    # halo exchanged volume is far below all-gather volume
+    assert pt.num_parts * pt.halo_size < pt.num_parts * pt.part_nodes
