@@ -113,3 +113,19 @@ def test_world_edges_capacity_clamp():
     s, r, m = G.build_world_edges(pos, mask, radius=0.5, capacity=10)
     assert int(m.sum()) == 10  # clamped, no overflow corruption
     assert s.shape == (10,)
+
+
+def test_index_helpers_roundtrip():
+    from mgn_tpu.utils.indexing import ci_to_li, dims_to_li, li_to_ci
+
+    dims = (4, 3, 5)
+    for li in range(4 * 3 * 5):
+        ci = li_to_ci(dims, li)
+        assert ci_to_li(dims, ci) == li
+        assert dims_to_li(dims, ci) == li
+    # column-major: first axis is fastest
+    assert ci_to_li(dims, (1, 0, 0)) == 1
+    assert ci_to_li(dims, (0, 1, 0)) == 4
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        ci_to_li(dims, (4, 0, 0))
