@@ -136,9 +136,7 @@ def train_network(
             norm_steps=args.norm_steps,
         )
         if batch > 1:
-            from mgn_tpu.train.derivative import make_batched_derivative_trainer
-
-            trainer = jax.jit(make_batched_derivative_trainer(tcfg, opt))
+            trainer = None  # built lazily: the union trainer needs graph ids
         else:
             trainer = jax.jit(make_derivative_trainer(tcfg, opt))
     elif isinstance(strategy, (SolverTraining, MultipleShooting)):
@@ -183,17 +181,20 @@ def train_network(
         prep = get_prep(traj_idx)
 
         if isinstance(strategy, DerivativeTraining) and batch > 1:
+            # disjoint-union batching: B graphs -> one big graph (data/union.py)
+            from mgn_tpu.data.union import union_prepared
+            from mgn_tpu.train.derivative import make_union_derivative_trainer
+
             preps = [get_prep(traj_idx + b) for b in range(batch)]
             traj_idx += batch
-            templates = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                     *[p.template for p in preps])
-            fields_b = {f: jnp.stack([p.fields[f] for p in preps])
-                        for f in spec.fields}
-            times_b = jnp.stack([p.times for p in preps])
+            template_u, fields_u, times_u, info = union_prepared(preps)
+            if trainer is None:
+                trainer = jax.jit(make_union_derivative_trainer(
+                    tcfg, opt, info.node_graph_ids()))
             perms = jnp.asarray(np.stack([sample_perm(p) for p in preps], 1),
                                 jnp.int32)  # (delta, B)
             key = jax.random.PRNGKey(rng.integers(2**31))
-            state, losses = trainer(state, templates, fields_b, times_b,
+            state, losses = trainer(state, template_u, fields_u, times_u,
                                     perms, key)
             losses = np.asarray(losses)
             n_done = perms.shape[0]

@@ -36,7 +36,7 @@ from mgn_tpu.train.common import (FieldSpec, NormState, TrainState,
                                   assemble_graph, masked_mse, type_mask)
 
 __all__ = ["DerivativeTrainerConfig", "make_derivative_trainer",
-           "make_batched_derivative_trainer"]
+           "make_batched_derivative_trainer", "make_union_derivative_trainer"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +241,94 @@ def make_batched_derivative_trainer(
         def body(st, ts):
             k = jax.random.fold_in(key, st.step)
             return one_batch_step(templates, fields, times, st, ts, k)
+
+        return jax.lax.scan(body, state, perms)
+
+    return train_window
+
+
+def make_union_derivative_trainer(
+    cfg: DerivativeTrainerConfig, optimizer: optax.GradientTransformation,
+    node_graph_ids,
+) -> Callable:
+    """Disjoint-union batching: B graphs concatenated into one (see
+    mgn_tpu.data.union) train as a single big graph — one forward/backward
+    per step over B frames (one per sub-graph).
+
+    ``node_graph_ids``: (B*N_pad,) int32 mapping node -> sub-graph index.
+    ``train_window(state, template, fields, times, perms, key)`` with
+    ``perms`` of shape (delta, B).
+    """
+    spec = cfg.spec
+    gids = jnp.asarray(node_graph_ids, jnp.int32)
+
+    def one_step(template: GraphTemplate, fields, times, state: TrainState,
+                 ts: jax.Array, key: jax.Array):
+        node_mask = template.node_mask
+        update_mask = type_mask(template.node_type, cfg.types_updated) & node_mask
+        noisy_mask = type_mask(template.node_type, cfg.types_noisy) & node_mask
+
+        tn = jnp.take(ts, gids)  # (B*N,) per-node frame index
+        dt = (jnp.take(times, tn + 1) - jnp.take(times, tn))[:, None]
+
+        u, targets_raw = {}, {}
+        keys = jax.random.split(key, max(len(spec.target_fields), 1))
+        for f in spec.fields:
+            arr = fields[f]  # (T, B*N, d)
+            frame = jnp.take_along_axis(arr, tn[None, :, None], axis=0)[0]
+            if f in spec.target_fields:
+                ti = spec.target_fields.index(f)
+                nxt = jnp.take_along_axis(arr, (tn + 1)[None, :, None], axis=0)[0]
+                noise = cfg.sigma(ti) * jax.random.normal(keys[ti], frame.shape)
+                frame = frame + noise * noisy_mask[:, None]
+                if spec.mode(ti) == "absolute":
+                    targets_raw[f] = nxt
+                else:
+                    targets_raw[f] = (nxt - frame) / dt
+            u[f] = frame
+
+        node_norms = dict(state.norm.node)
+        for f in spec.fields:
+            node_norms[f] = N.accumulate(node_norms[f], u[f], node_mask)
+        out_norms = dict(state.norm.output)
+        for f in spec.target_fields:
+            out_norms[f] = N.accumulate(out_norms[f], targets_raw[f], node_mask)
+        edge_norm = N.accumulate(state.norm.edge, template.mesh_edge_features,
+                                 template.edge_mask)
+        if cfg.sync_axis is not None:
+            edge_norm = N.cross_replica_sync(edge_norm, cfg.sync_axis)
+            node_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
+                          for k, v in node_norms.items()}
+            out_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
+                         for k, v in out_norms.items()}
+        norm = NormState(edge=edge_norm, node=node_norms, output=out_norms)
+
+        target = jnp.concatenate(
+            [norm.output[f](targets_raw[f]) for f in spec.target_fields], -1)
+
+        def loss_fn(params):
+            graph = assemble_graph(norm, template, u, spec)
+            out = apply_mgn(params, graph, cfg.model,
+                            row_offsets=template.row_offsets)
+            return masked_mse(out, target, update_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if cfg.sync_axis is not None:
+            grads = jax.lax.pmean(grads, cfg.sync_axis)
+            loss = jax.lax.pmean(loss, cfg.sync_axis)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        do_update = state.step >= cfg.norm_steps
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(do_update, x, y), a, b)
+        return TrainState(params=sel(new_params, state.params),
+                          opt_state=sel(new_opt, state.opt_state),
+                          norm=norm, step=state.step + 1), loss
+
+    def train_window(state, template, fields, times, perms, key):
+        def body(st, ts):
+            k = jax.random.fold_in(key, st.step)
+            return one_step(template, fields, times, st, ts, k)
 
         return jax.lax.scan(body, state, perms)
 

@@ -127,3 +127,34 @@ def test_train_network_batchsize(tmp_path):
         mps=1, layer_size=8, hidden_layers=1, norm_steps=2, steps=30,
         checkpoint=1000, batchsize=2, solver_valid="euler", seed=0)
     assert int(state.step) >= 30
+
+
+def test_union_trainer_semantics(setup):
+    """Union of 2 identical graphs: per-step stats = 2x nodes; learns."""
+    import optax
+    from mgn_tpu.data.union import union_prepared
+    from mgn_tpu.models.mgn import MGNConfig, init_mgn
+    from mgn_tpu.train.derivative import make_union_derivative_trainer
+
+    state, _, prep, spec = setup
+    opt = optax.adam(1e-3)
+    mcfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                     latent_size=16, hidden_layers=1, message_passing_steps=2)
+    tcfg = DerivativeTrainerConfig(model=mcfg, spec=spec, noise_stddevs=(0.0,),
+                                   norm_steps=0)
+    params = init_mgn(jax.random.PRNGKey(0), mcfg)
+    st = state.replace(params=params, opt_state=opt.init(params))
+
+    template_u, fields_u, times_u, info = union_prepared([prep, prep])
+    assert template_u.num_nodes == 2 * prep.template.num_nodes
+    trainer = jax.jit(make_union_derivative_trainer(tcfg, opt,
+                                                    info.node_graph_ids()))
+    # different frames per sub-graph
+    perms = jnp.asarray(np.stack([np.arange(5), np.arange(5) + 3], 1),
+                        jnp.int32)
+    st2, losses = trainer(st, template_u, fields_u, times_u, perms,
+                          jax.random.PRNGKey(0))
+    assert losses.shape == (5,)
+    assert np.isfinite(np.asarray(losses)).all()
+    per_step = float(st2.norm.node["velocity"].num_accumulations) / 5
+    assert per_step == 2 * prep.num_nodes
