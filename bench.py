@@ -35,7 +35,7 @@ def main():
     compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
                     latent_size=128, hidden_layers=2, message_passing_steps=15,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, unroll=(backend == "tpu"))
     params = init_mgn(jax.random.PRNGKey(0), cfg)
     vel = make_trajectory(pos, node_type, tl=1, dt=0.01, seed=0)[0]
     nf = np.zeros((template.num_nodes, 9), np.float32)

