@@ -21,6 +21,16 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the (remote,
+    # sometimes very slow) compile entirely
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from mgn_tpu.core.graph import MeshGraph, build_template, cells_to_edges
     from mgn_tpu.data.synthetic import make_channel_mesh, make_trajectory
