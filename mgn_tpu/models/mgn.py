@@ -48,6 +48,11 @@ class MGNConfig:
     # unroll the processor rounds instead of lax.scan: ~12% faster on TPU
     # (cross-round pipelining) at the cost of longer compiles / larger HLO
     unroll: bool = False
+    # 'take' (XLA gather) or 'banded' (MXU one-hot matmuls; requires spatially
+    # ordered nodes — data.prep spatial_reorder — and valid band capacities)
+    gather_backend: str = "take"
+    sender_band: int = 512
+    receiver_band: int = 256
 
 
 def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
@@ -93,10 +98,17 @@ def apply_mgn(
     e = apply_mlp(params["edge_encoder"], graph.edge_features, dt)  # (E, L)
     e = e * edge_valid
 
+    if cfg.gather_backend == "banded":
+        from mgn_tpu.ops.banded import banded_gather
+
+        do_gather = lambda v, idx, band: banded_gather(v, idx, band)
+    else:
+        do_gather = lambda v, idx, band: gather(v, idx)
+
     def block(carry, block_params):
         v, e = carry
-        vs = gather(v, graph.senders)
-        vr = gather(v, graph.receivers)
+        vs = do_gather(v, graph.senders, cfg.sender_band)
+        vr = do_gather(v, graph.receivers, cfg.receiver_band)
         # apply_mlp_parts: no (E, 3L) concat materialization — the first-layer
         # weights are sliced per input part
         msg = apply_mlp_parts(block_params["edge_mlp"], (e, vs, vr), dt)

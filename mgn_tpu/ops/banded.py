@@ -85,3 +85,60 @@ def _bwd(num_segments, band, res, g):
 
 
 banded_segment_sum.defvjp(_fwd, _bwd)
+
+
+def required_gather_band(indices: np.ndarray, chunk: int = _BLOCK,
+                         multiple: int = 128) -> int:
+    """Smallest valid band for banded_gather: max (max-min+1) of indices
+    within any 128-entry chunk (host-side; needs spatially ordered nodes to
+    be small — see data.prep spatial_reorder)."""
+    idx = np.asarray(indices).reshape(-1, chunk)
+    span = int((idx.max(1) - idx.min(1)).max()) + 1
+    return max(multiple, int(-(-span // multiple) * multiple))
+
+
+def _gather_forward(v, indices, band):
+    n, f = v.shape
+    e = indices.shape[0]
+    idx_c = indices.reshape(e // _BLOCK, _BLOCK)
+    starts = jnp.clip(jnp.min(idx_c, axis=1), 0, jnp.int32(max(n - band, 0)))
+
+    def window(s):
+        return jax.lax.dynamic_slice_in_dim(v, s, band, 0)
+
+    windows = jax.vmap(window)(starts)  # (C, band, F)
+    rel = idx_c - starts[:, None]  # (C, 128)
+    onehot = (rel[:, :, None]
+              == jnp.arange(band, dtype=indices.dtype)[None, None, :]
+              ).astype(v.dtype)
+    precision = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("cjw,cwf->cjf", onehot, windows, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(e, f).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def banded_gather(v, indices, band):
+    """Row gather ``v[indices]`` as banded MXU matmuls.
+
+    Requires each 128-entry index chunk to span < ``band`` rows
+    (``required_gather_band``; guaranteed by spatial node ordering).  The MXU
+    formulation avoids TPU's slow vector-gather path; backward is the exact
+    scatter-add.
+    """
+    return _gather_forward(v, indices, band)
+
+
+def _g_fwd(v, indices, band):
+    return _gather_forward(v, indices, band), (indices, v.shape[0],
+                                               jnp.zeros((0,), v.dtype))
+
+
+def _g_bwd(band, res, g):
+    indices, n, probe = res
+    dv = jax.ops.segment_sum(g.astype(jnp.float32), indices, num_segments=n)
+    return (dv.astype(probe.dtype), None)
+
+
+banded_gather.defvjp(_g_fwd, _g_bwd)
