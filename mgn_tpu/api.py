@@ -48,6 +48,7 @@ def build_model_config(meta: Dict[str, Any], args: Args) -> Tuple[MGNConfig, Fie
         message_passing_steps=args.mps,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
         aggregation_backend=args.aggregation_backend,
+        unroll=args.unroll,
     )
     return cfg, spec
 

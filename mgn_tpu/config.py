@@ -58,6 +58,7 @@ class Args:
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
     aggregation_backend: Optional[str] = None  # None='auto' | 'xla' | 'pallas'
+    unroll: bool = False  # unroll processor rounds (faster on TPU, bigger HLO)
     node_bucket_multiple: int = 128
     edge_bucket_multiple: int = 128
     data_axis: str = "data"  # device-mesh axis for trajectory batching
