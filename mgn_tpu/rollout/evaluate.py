@@ -90,7 +90,8 @@ def validation_loss(pred: jax.Array, gt: jax.Array, update_mask: jax.Array) -> j
     """Masked rollout MSE over (time, nodes, channels)."""
     err = (pred - gt) ** 2
     m = update_mask.astype(pred.dtype)[None, :, None]
-    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
+    denom = jnp.sum(m) * pred.shape[0] * pred.shape[-1]
+    return jnp.sum(err * m) / jnp.maximum(denom, 1.0)
 
 
 def rollout_error_report(
