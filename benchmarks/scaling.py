@@ -28,7 +28,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from mgn_tpu.core.graph import cells_to_edges
     from mgn_tpu.data.synthetic import make_channel_mesh
@@ -72,7 +72,7 @@ def main():
             return out[None]
 
         fn = jax.jit(shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 8,
-                               out_specs=P("graph"), check_rep=False))
+                               out_specs=P("graph"), check_vma=False))
         args = (jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
                 jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
                 jnp.asarray(pt.node_mask), jnp.asarray(pt.edge_mask),

@@ -109,7 +109,7 @@ def train_network(
     populate :class:`mgn_tpu.config.Args`.
     """
     args = Args(**kwargs)
-    log = metrics or MetricsLogger(quiet=True)
+    log = metrics or MetricsLogger(quiet=True, wandb_logger=args.wandb_logger)
     noise = (tuple(noise_stddevs) if isinstance(noise_stddevs, (tuple, list))
              else (float(noise_stddevs),))
 
@@ -165,6 +165,7 @@ def train_network(
     cp_progress = 0
     t_last = time.time()
     prepared_cache: Dict[int, PreparedTrajectory] = {}
+    losses = np.zeros((0,), np.float32)  # stays empty if already past total_steps
 
     def get_prep(i):
         i = i % dataset.num_trajectories
@@ -236,7 +237,8 @@ def train_network(
             log.log("checkpoint", step=int(state.step), valid_loss=valid_loss,
                     min_valid_loss=min_valid)
 
-    ckpt.save(state, float(losses.mean()) if len(losses) else float("nan"))
+    if len(losses):  # resume past completion trains nothing; keep checkpoints
+        ckpt.save(state, float(losses.mean()))
     return state, min_valid
 
 
@@ -280,7 +282,7 @@ def eval_network(
     + ``eval_network!`` (:568-672).  Returns the per-trajectory reports.
     """
     args = Args(**kwargs)
-    log = metrics or MetricsLogger(quiet=True)
+    log = metrics or MetricsLogger(quiet=True, wandb_logger=args.wandb_logger)
     dataset = load_dataset(ds_path, is_training=False)
     meta = dataset.meta
 
@@ -311,14 +313,24 @@ def eval_network(
         times = prep.times
         if saves is not None:
             times = jnp.asarray(saves, jnp.float32)
-        elif start is not None and stop is not None:
-            keep = (prep.times >= start) & (prep.times <= stop + 1e-9)
-            times = prep.times[keep]
+        else:
+            if start is not None:
+                times = times[times >= start - 1e-9]
+            if stop is not None:
+                times = times[times <= stop + 1e-9]
         t0 = time.time()
-        pred = rollout_fn(params, norm, prep.template, prep.fields, times)
+        pred = rollout_fn(params, norm, prep.template, prep.fields, times,
+                          prep.times)
         pred = jax.block_until_ready(pred)
         gt = jnp.concatenate([prep.fields[f] for f in spec.target_fields], -1)
-        gt = gt[: pred.shape[0]]
+        # ground truth at the data frame enclosing each save time, so windowed
+        # (start/stop) and arbitrary-saveat rollouts compare aligned frames
+        data_t = np.asarray(prep.times)
+        fidx = np.clip(
+            np.searchsorted(data_t, np.asarray(times)
+                            + 1e-4 * np.diff(data_t).min(), side="right") - 1,
+            0, len(data_t) - 1)
+        gt = gt[fidx]
         report = rollout_error_report(np.asarray(pred), np.asarray(gt),
                                       prep.num_nodes, mse_steps)
         report["rollout_seconds"] = time.time() - t0

@@ -110,15 +110,21 @@ def prepare_trajectory(
         type_min=tmin, type_max=tmax,
         node_bucket=node_bucket, edge_bucket=edge_bucket,
     )
-    # validate the banded-aggregation window capacity (TPU default backend)
+    # validate the banded-aggregation window capacity (TPU default backend);
+    # high-degree meshes (hub nodes) fall back to the XLA scatter path
+    # automatically instead of crashing — dropping row_offsets disables the
+    # banded/pallas dispatch in ops.segment.segment_sum
     from mgn_tpu.ops.banded import required_band
 
     need = required_band(np.asarray(template.row_offsets), template.num_nodes)
     if need > 2048:
-        raise ValueError(
+        import warnings
+
+        warnings.warn(
             f"graph has a 128-node block spanning {need} edges (> banded "
-            "aggregation capacity 2048); use aggregation_backend='xla' or "
-            "'pallas' for this mesh")
+            "aggregation capacity 2048); falling back to the XLA scatter "
+            "aggregation backend for this mesh", stacklevel=2)
+        template = template.replace(row_offsets=None)
     n_pad = template.num_nodes
     fields = {}
     for f in spec.fields:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mgn_tpu.core import normalizers as N
 from mgn_tpu.models.mgn import MGNConfig
@@ -252,7 +252,7 @@ def make_spmd_derivative_step(
             mesh=mesh,
             in_specs=(P(), specs, P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, batch_tree, key)
 

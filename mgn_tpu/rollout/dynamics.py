@@ -32,7 +32,7 @@ def make_deriv_fn(
     val_mask: jax.Array,  # (N_pad,) float — nodes whose du is applied
     inflow_mask: Optional[jax.Array] = None,  # (N_pad,) bool
     forcing_data: Optional[jax.Array] = None,  # (T, N_pad, F_out) ground truth
-    forcing_dt: Optional[jax.Array] = None,  # save interval of forcing_data
+    forcing_times: Optional[jax.Array] = None,  # (T,) timestamps of forcing_data
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Build ``deriv(y, t) -> du`` over the packed state slab (N_pad, F_out).
 
@@ -40,19 +40,27 @@ def make_deriv_fn(
       reference (``inputs`` built from the initial state,
       /root/reference/src/solve.jl:49-52, :192-196);
     - inflow forcing: nodes in ``inflow_mask`` are overwritten with ground
-      truth at frame ``floor(t / forcing_dt)``
-      (/root/reference/src/solve.jl:105-108, :151-152);
+      truth at the enclosing data frame — the frame whose timestamp is the
+      largest ``forcing_times[k] <= t`` (generalizes the reference's
+      ``floor(t / dt)`` at /root/reference/src/solve.jl:105-108, :151-152 to
+      non-uniform time grids, /root/reference/src/dataset.jl:313-322);
     - output: per-field de-normalized network output, masked by ``val_mask``
       (/root/reference/src/solve.jl:205-218).
     """
+    if forcing_times is not None:
+        # tolerance so t exactly on a frame time selects that frame despite
+        # float roundoff (scaled to the smallest save interval)
+        eps = 1e-4 * jnp.min(jnp.diff(forcing_times))
+
+    def frame_of(t: jax.Array) -> jax.Array:
+        return jnp.clip(
+            jnp.searchsorted(forcing_times, t + eps, side="right") - 1,
+            0, forcing_times.shape[0] - 1,
+        ).astype(jnp.int32)
 
     def deriv(y: jax.Array, t: jax.Array) -> jax.Array:
         if forcing_data is not None:
-            idx = jnp.clip(
-                jnp.floor(t / forcing_dt + 1e-4).astype(jnp.int32),
-                0,
-                forcing_data.shape[0] - 1,
-            )
+            idx = frame_of(t)
             gt = jax.lax.dynamic_index_in_dim(forcing_data, idx, 0, keepdims=False)
             y = jnp.where(inflow_mask[:, None], gt, y)
         values = dict(non_target_inputs)
@@ -66,9 +74,11 @@ def make_deriv_fn(
             if spec.mode(ti) == "absolute":
                 # relax toward the predicted value over one save interval:
                 # Euler with dt=save_dt lands exactly on the prediction
-                assert forcing_dt is not None, \
-                    "absolute output fields need a save interval (forcing_dt)"
-                parts.append((pred - y[..., sl]) / forcing_dt)
+                assert forcing_times is not None, \
+                    "absolute output fields need a save-time grid (forcing_times)"
+                k = jnp.minimum(frame_of(t), forcing_times.shape[0] - 2)
+                local_dt = jnp.take(forcing_times, k + 1) - jnp.take(forcing_times, k)
+                parts.append((pred - y[..., sl]) / local_dt)
             else:
                 parts.append(pred)
         du = jnp.concatenate(parts, axis=-1)

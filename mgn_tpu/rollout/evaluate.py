@@ -63,20 +63,32 @@ def make_rollout_fn(
             f"{sorted(FIXED_METHODS)} or 'tsit5_adaptive'")
 
     def rollout(params, norm: NormState, template: GraphTemplate,
-                fields: Dict[str, jax.Array], times: jax.Array) -> jax.Array:
+                fields: Dict[str, jax.Array], times: jax.Array,
+                forcing_times: jax.Array | None = None) -> jax.Array:
+        """``times`` is the save grid (any monotone subset/window of the data
+        grid); ``forcing_times`` are the timestamps of ``fields``' frames
+        (defaults to ``times``).  The initial state is the data frame
+        enclosing ``times[0]`` — so a windowed rollout (eval ``start``/``stop``,
+        /root/reference/src/MeshGraphNets.jl:509-521) starts from the correct
+        frame instead of frame 0."""
         node_mask = template.node_mask
         val_mask = (type_mask(template.node_type, types_updated) & node_mask
                     ).astype(jnp.float32)
         inflow_mask = type_mask(template.node_type, types_inflow) & node_mask
         gt = jnp.concatenate([fields[f] for f in spec.target_fields], axis=-1)
-        y0 = gt[0]
-        non_target = {f: fields[f][0] for f in spec.fields
-                      if f not in spec.target_fields}
-        save_dt = times[1] - times[0]
+        ftimes = times if forcing_times is None else forcing_times
+        eps = 1e-4 * jnp.min(jnp.diff(ftimes))
+        i0 = jnp.clip(
+            jnp.searchsorted(ftimes, times[0] + eps, side="right") - 1,
+            0, ftimes.shape[0] - 1).astype(jnp.int32)
+        y0 = jax.lax.dynamic_index_in_dim(gt, i0, 0, keepdims=False)
+        non_target = {
+            f: jax.lax.dynamic_index_in_dim(fields[f], i0, 0, keepdims=False)
+            for f in spec.fields if f not in spec.target_fields}
         deriv = make_deriv_fn(
             params, model_cfg, norm, template, spec, non_target,
             val_mask, inflow_mask=inflow_mask, forcing_data=gt,
-            forcing_dt=save_dt,
+            forcing_times=ftimes,
         )
         if solver == "tsit5_adaptive":
             return odeint_tsit5_adaptive(deriv, y0, times, rtol=rtol, atol=atol)

@@ -108,20 +108,22 @@ def odeint_fixed(
 ) -> jax.Array:
     """Fixed-step integration saving at every ``saveat`` time.
 
-    ``saveat`` must be a uniform grid; the solver takes ``substeps`` equal
-    steps per save interval (``dt`` is a convenience that derives substeps when
-    ``saveat`` is concrete — pass ``substeps`` explicitly under jit).
+    ``saveat`` is any monotone time grid (uniform or not — matching the
+    reference's arbitrary ``saveat``/``tstops``, /root/reference/src/solve.jl:57-61
+    and per-trajectory dt vectors, /root/reference/src/dataset.jl:313-322); the
+    solver takes ``substeps`` equal steps per save interval (``dt`` is a
+    convenience that derives substeps from the first interval when ``saveat``
+    is concrete — pass ``substeps`` explicitly under jit).
     ``remat=True`` wraps each step in ``jax.checkpoint`` for solver-mode
     training.  Returns (T_save, ...) with ``out[0] = y0``.
     """
     stepper = FIXED_METHODS[method]
-    save_dt = saveat[1] - saveat[0]
     if substeps is None:
         if dt is None:
             substeps = 1
         else:
             try:
-                ratio = float(save_dt) / float(dt)
+                ratio = float(saveat[1] - saveat[0]) / float(dt)
             except jax.errors.ConcretizationTypeError as e:
                 raise ValueError(
                     "odeint_fixed: pass `substeps` explicitly when saveat is "
@@ -129,8 +131,9 @@ def odeint_fixed(
                 ) from e
             substeps = max(1, int(round(ratio)))
 
-    def one_save_interval(y, t0):
-        h = save_dt / substeps
+    def one_save_interval(y, interval):
+        t0, t1 = interval
+        h = (t1 - t0) / substeps
 
         def body(y, i):
             return stepper(f, y, t0 + i * h, h), None
@@ -139,7 +142,7 @@ def odeint_fixed(
         y, _ = jax.lax.scan(body_fn, y, jnp.arange(substeps))
         return y, y
 
-    _, ys = jax.lax.scan(one_save_interval, y0, saveat[:-1])
+    _, ys = jax.lax.scan(one_save_interval, y0, (saveat[:-1], saveat[1:]))
     return jnp.concatenate([y0[None], ys], axis=0)
 
 
@@ -165,11 +168,12 @@ def odeint_tsit5_adaptive(
 
     Equivalent of the reference's ``solve(prob, Tsit5(); saveat, tstops)``
     (/root/reference/src/solve.jl:57-58): each save point is a mandatory stop,
-    adaptive substeps in between.  Not differentiable (while_loop); use
-    ``odeint_fixed`` for training.
+    adaptive substeps in between.  ``saveat`` may be any monotone grid.
+    Not differentiable (while_loop); use ``odeint_fixed`` or
+    ``odeint_tsit5_bounded`` (train/adaptive.py) for training.
     """
-    save_dt = saveat[1] - saveat[0]
-    h0 = jnp.asarray(dt0 if dt0 is not None else save_dt, jnp.float32)
+    dt_ref = saveat[1] - saveat[0]  # step-size clip scale
+    h0 = jnp.asarray(dt0 if dt0 is not None else dt_ref, jnp.float32)
 
     def err_norm(err, y, ynew):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
@@ -190,7 +194,7 @@ def odeint_tsit5_adaptive(
             # PI controller (0.7/0.4 exponents á la standard Tsit5 controllers)
             fac = safety * e ** -0.38 * (s.err_prev / e) ** 0.04
             fac = jnp.clip(fac, 0.2, 5.0)
-            h_next = jnp.clip(s.dt * fac, save_dt * 1e-4, save_dt * 10.0)
+            h_next = jnp.clip(s.dt * fac, dt_ref * 1e-4, dt_ref * 10.0)
             return _AdaptState(
                 t=jnp.where(accept, s.t + h, s.t),
                 y=jnp.where(accept, ynew, s.y),
@@ -204,12 +208,14 @@ def odeint_tsit5_adaptive(
         out = jax.lax.while_loop(cond, body, init)
         return out.y, out.dt, out.err_prev
 
-    def one_interval(carry, t0):
+    def one_interval(carry, interval):
+        t0, t1 = interval
         y, h, ep = carry
-        y, h, ep = advance_to(y, t0, t0 + save_dt, h, ep)
+        y, h, ep = advance_to(y, t0, t1, h, ep)
         return (y, h, ep), y
 
     (_, _, _), ys = jax.lax.scan(
-        one_interval, (y0, h0, jnp.ones((), jnp.float32)), saveat[:-1]
+        one_interval, (y0, h0, jnp.ones((), jnp.float32)),
+        (saveat[:-1], saveat[1:]),
     )
     return jnp.concatenate([y0[None], ys], axis=0)

@@ -102,11 +102,14 @@ def make_solver_trainer(
                     & node_mask).astype(jnp.float32)
         inflow_mask = type_mask(template.node_type, cfg.types_inflow) & node_mask
 
-        dt0 = times[1] - times[0]
+        # map each save time to the nearest-below data frame via the actual
+        # timestamp vector (supports non-uniform per-trajectory dt,
+        # /root/reference/src/dataset.jl:313-322)
+        eps = 1e-4 * jnp.min(jnp.diff(times))
         frame_idx = jnp.clip(
-            jnp.round((saveat - times[0]) / dt0).astype(jnp.int32),
+            jnp.searchsorted(times, saveat + eps, side="right") - 1,
             0, jnp.asarray(next(iter(fields.values())).shape[0] - 1),
-        )
+        ).astype(jnp.int32)
         gt_fields = {f: jnp.take(fields[f], frame_idx, axis=0)
                      for f in spec.fields}
         norm = accumulate_norms(state, template, gt_fields, times)
@@ -130,7 +133,7 @@ def make_solver_trainer(
         def loss_fn(params):
             deriv = make_deriv_fn(
                 params, cfg.model, norm, template, spec, non_target, val_mask,
-                inflow_mask=inflow_mask, forcing_data=gt, forcing_dt=strategy.dt,
+                inflow_mask=inflow_mask, forcing_data=gt, forcing_times=saveat,
             )
             if isinstance(strategy, SolverTraining):
                 pred = odeint_fixed(deriv, gt[0], saveat, substeps=substeps,

@@ -73,7 +73,7 @@ def test_sharded_forward_matches_single_device():
     # sharded forward via vmap over parts with a fake axis: use shard_map on
     # the 8-device cpu mesh, graph axis = 4
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from mgn_tpu.parallel.halo import apply_mgn_sharded
 
     mesh = make_device_mesh(1, 4)
@@ -89,7 +89,7 @@ def test_sharded_forward_matches_single_device():
 
     fn = shard_map(
         f, mesh=mesh,
-        in_specs=(P("graph"),) * 6, out_specs=P("graph"), check_rep=False)
+        in_specs=(P("graph"),) * 6, out_specs=P("graph"), check_vma=False)
     out = fn(jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
              jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
              jnp.asarray(pt.node_mask), jnp.asarray(pt.edge_mask))
@@ -140,7 +140,7 @@ def test_halo_exchange_matches_allgather():
     """Boundary-only all_to_all halo == full all-gather exchange."""
     from mgn_tpu.parallel.partition import add_halo_plan
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from mgn_tpu.parallel.halo import apply_mgn_sharded
 
     pos, cells, nt, s, r, pt = small_setup(num_parts=4)
@@ -171,7 +171,7 @@ def test_halo_exchange_matches_allgather():
             return out[None]
 
         fn = shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 8,
-                       out_specs=P("graph"), check_rep=False)
+                       out_specs=P("graph"), check_vma=False)
         return np.asarray(fn(
             jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
             jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
