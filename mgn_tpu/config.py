@@ -28,6 +28,8 @@ class Args:
 
     # --- training schedule ---
     batchsize: int = 1  # implemented via data parallelism (reference: accepted but unused)
+    # total optimizer steps = steps * epochs, exactly the reference's loop
+    # bound (/root/reference/src/MeshGraphNets.jl:348 `args.steps * args.epochs`)
     epochs: int = 1
     steps: int = 10_000_000
     checkpoint: int = 10_000
@@ -50,7 +52,10 @@ class Args:
     reset_valid: bool = False
     rtol: float = 1e-4  # adaptive-solver tolerances (reference: solargs)
     atol: float = 1e-6
-    cell_idxs: Tuple[int, ...] = (0,)  # kept for Args parity (reference field)
+    # accepted for Args parity: the reference only uses this to pick cells for
+    # its (optional) validation plots (/root/reference/src/MeshGraphNets.jl:235);
+    # plotting here is downstream of the exported trajectories.h5
+    cell_idxs: Tuple[int, ...] = (0,)
 
     # --- reproducibility ---
     seed: int = 1234

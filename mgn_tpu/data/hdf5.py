@@ -33,10 +33,21 @@ from mgn_tpu.data.meta import feature_dtype
 __all__ = ["read_trajectory", "trajectory_keys", "grid_num_nodes"]
 
 
+#: top-level groups that are file metadata, not trajectories (JLD2 writes a
+#: ``_types`` group for committed Julia datatypes; JLD.jl used ``_refs``)
+_RESERVED_GROUPS = ("_types", "_refs", "_require", "_creator")
+
+
 def trajectory_keys(path: str) -> List[str]:
-    """Sorted trajectory group names in an HDF5 file (numeric-aware order)."""
+    """Sorted trajectory group names in an HDF5/JLD2 file (numeric-aware
+    order).  JLD2-internal metadata groups are skipped — JLD2 files are valid
+    HDF5 bytes (the format is implemented on the HDF5 file format), so plain
+    numeric-array trajectory groups read identically through h5py; only
+    Julia-custom-typed payloads (which the reference's documented dataset
+    layout never uses, /root/reference/docs/src/training_data.md) are out of
+    scope."""
     with h5py.File(path, "r") as f:
-        keys = list(f.keys())
+        keys = [k for k in f.keys() if k not in _RESERVED_GROUPS]
 
     def sort_key(k):
         m = re.search(r"\d+", k)
@@ -75,51 +86,91 @@ def _grid_linear_index(dims: Sequence[int], idx: Sequence[int]) -> int:
 
 
 def _place(dest: np.ndarray, data: np.ndarray, node_idx, coord, tl: int) -> None:
-    """Write one matched dataset into dest (T, N, dim)."""
+    """Write one matched dataset into dest (T, N, dim) — explicit layout rules.
+
+    The accepted shape is fully determined by the meta.json feature entry (no
+    size-coincidence guessing): ``tl`` (= trajectory_length for dynamic
+    features, 1 for static), whether the key addresses a single mesh point
+    (``node_idx``, ``%d`` keys) and whether it addresses a single coordinate
+    (``coord``, ``split`` keys):
+
+    ============== ======= ================ ==================
+    node_idx       coord   dynamic shape    static shape
+    ============== ======= ================ ==================
+    None           None    (T,N,dim)|(T,N)¹ (N,dim) | (N,)¹
+    None           c       (T,N)            (N,)
+    point p        None    (T,dim)|(T,)¹    (dim,) | scalar¹
+    point p        c       (T,)             scalar | (1,)
+    ============== ======= ================ ==================
+
+    ¹ short form only when dim == 1.  Julia-written files (HDF5.jl / JLD2)
+    store column-major, which h5py reads dimension-reversed — landing exactly
+    on these row-major shapes, so one rule set covers both producers.
+    Anything else raises with the expected/actual shapes.
+    """
     data = np.asarray(data)
-    if data.ndim == 3:  # (T, N, dim)
-        dest[:, node_idx if node_idx is not None else slice(None),
-             coord if coord is not None else slice(None)] = data[:tl]
-        return
-    if node_idx is None:
-        if data.ndim == 2:
-            if data.shape[0] >= tl and dest.shape[0] == tl and data.shape[1] in (
-                dest.shape[2] if coord is None else 1,
-                dest.shape[1],
-            ):
-                # ambiguous (T, dim) vs (N, dim); prefer time-leading for dynamic
-                pass
-            if data.shape[0] >= tl and dest.shape[0] > 1:
-                # dynamic (T, N) for dim-1 or (T, dim) single-node
-                if coord is None and data.shape[1] == dest.shape[1]:
-                    dest[:, :, 0] = data[:tl]
-                else:
-                    dest[:, :, coord if coord is not None else slice(None)] = data[
-                        :tl, None, :
-                    ]
+    dyn = tl > 1
+    n, dim = dest.shape[1], dest.shape[2]
+
+    def fail(expected: str):
+        raise ValueError(
+            f"dataset shape {data.shape} does not match the meta.json layout "
+            f"(expected {expected}; trajectory_length={tl}, nodes={n}, "
+            f"dim={dim}, node_idx={node_idx}, coord={coord})")
+
+    if node_idx is None and coord is None:
+        if dyn:
+            if data.ndim == 3 and data.shape[:1] == (tl,) and data.shape[1] == n \
+                    and data.shape[2] == dim:
+                dest[:] = data
+            elif data.ndim == 2 and dim == 1 and data.shape == (tl, n):
+                dest[:, :, 0] = data
             else:
-                # static (N, dim) or (N,)
-                dest[:, :, coord if coord is not None else slice(None)] = data[None]
-        elif data.ndim == 1:
-            if dest.shape[0] > 1 and data.shape[0] >= tl:
-                dest[:, :, 0 if coord is None else coord] = data[:tl, None]
-            else:
-                dest[:, :, 0 if coord is None else coord] = data[None, :, None][0]
+                fail(f"({tl}, {n}, {dim})" + (f" or ({tl}, {n})" if dim == 1 else ""))
         else:
-            dest[...] = data
+            if data.ndim == 2 and data.shape == (n, dim):
+                dest[0] = data
+            elif data.ndim == 1 and dim == 1 and data.shape == (n,):
+                dest[0, :, 0] = data
+            else:
+                fail(f"({n}, {dim})" + (f" or ({n},)" if dim == 1 else ""))
+    elif node_idx is None:
+        if dyn:
+            if data.ndim == 2 and data.shape == (tl, n):
+                dest[:, :, coord] = data
+            else:
+                fail(f"({tl}, {n})")
+        else:
+            if data.ndim == 1 and data.shape == (n,):
+                dest[0, :, coord] = data
+            else:
+                fail(f"({n},)")
+    elif coord is None:
+        if dyn:
+            if data.ndim == 2 and data.shape == (tl, dim):
+                dest[:, node_idx, :] = data
+            elif data.ndim == 1 and dim == 1 and data.shape == (tl,):
+                dest[:, node_idx, 0] = data
+            else:
+                fail(f"({tl}, {dim})" + (f" or ({tl},)" if dim == 1 else ""))
+        else:
+            if data.ndim == 1 and data.shape == (dim,):
+                dest[0, node_idx, :] = data
+            elif data.ndim == 0 and dim == 1:
+                dest[0, node_idx, 0] = data
+            else:
+                fail(f"({dim},)" + (" or scalar" if dim == 1 else ""))
     else:
-        # single mesh point dataset
-        if data.ndim == 2:  # (T, dim) canonical; (dim, T) accepted
-            if data.shape[0] != tl and data.shape[1] >= tl:
-                data = data.T
-            dest[:, node_idx, coord if coord is not None else slice(None)] = data[:tl]
-        elif data.ndim == 1:
-            if dest.shape[0] > 1 and data.shape[0] >= tl:
-                dest[:, node_idx, 0 if coord is None else coord] = data[:tl]
+        if dyn:
+            if data.ndim == 1 and data.shape == (tl,):
+                dest[:, node_idx, coord] = data
             else:
-                dest[:, node_idx, coord if coord is not None else slice(None)] = data
+                fail(f"({tl},)")
         else:
-            dest[:, node_idx, 0 if coord is None else coord] = data
+            if data.ndim == 0 or data.shape in ((1,), ()):
+                dest[0, node_idx, coord] = np.asarray(data).reshape(())
+            else:
+                fail("scalar or (1,)")
 
 
 def read_trajectory(

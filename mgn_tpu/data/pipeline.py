@@ -202,10 +202,15 @@ class Dataset:
 def load_dataset(path: str, is_training: bool = True, cache: bool = True) -> Dataset:
     """Discover and open a dataset directory.
 
-    Priority per split file: ``<split>.tfrecord`` then ``<split>.h5`` (also
-    accepts ``.jld2`` via the HDF5 reader), matching
-    /root/reference/src/dataset.jl:92-100.  ``is_training`` selects
-    train+valid vs test (the reference's convention at :522).
+    Priority per split file: ``<split>.tfrecord`` then ``<split>.h5`` then
+    ``<split>.jld2``, matching /root/reference/src/dataset.jl:92-100.  JLD2
+    files are valid HDF5 bytes and route through the HDF5 reader: trajectory
+    groups of plain numeric arrays (the layout the reference documents) read
+    identically via h5py — Julia's column-major arrays appear dim-reversed,
+    which is exactly the row-major convention; JLD2's ``_types`` metadata
+    group is skipped (see :func:`mgn_tpu.data.hdf5.trajectory_keys`).
+    ``is_training`` selects train+valid vs test (the reference's convention
+    at :522).
     """
     meta = load_meta(path)
     split = "train" if is_training else "test"

@@ -2,7 +2,7 @@
 
 New model family vs the reference (which is mesh-edge-only): cloth/contact
 models (FlagSimple in BASELINE.json) use a second, dynamically constructed
-"world edge" set connecting nodes that are близко in world space.  Following
+"world edge" set connecting nodes that are close in world space.  Following
 the MeshGraphNets paper (arXiv 2010.03409 §3: separate edge encoders and
 per-edge-set update MLPs, node update consumes every edge set's aggregate):
 
