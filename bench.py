@@ -39,13 +39,25 @@ def main():
     backend = jax.default_backend()
     pos, cells, node_type = make_channel_mesh(1900, seed=0)
     n = len(pos)
+
+    # spatial sweep ordering -> narrow banding plan for the fused round kernel
+    extent = pos.max(0) - pos.min(0)
+    axes = np.argsort(-extent)
+    order = np.lexsort(tuple(pos[:, a] for a in reversed(axes)))
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    pos, node_type, cells = pos[order], node_type[order], inv[cells].astype(np.int32)
+
     template = build_template(pos, node_type, cells=cells)
     e_real = int(np.asarray(template.edge_mask).sum())
+    use_fused = template.fused_plan is not None and backend == "tpu"
 
     compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
                     latent_size=128, hidden_layers=2, message_passing_steps=15,
-                    compute_dtype=compute_dtype, unroll=(backend == "tpu"))
+                    compute_dtype=compute_dtype,
+                    unroll=(backend == "tpu" and not use_fused),
+                    fused=use_fused)
     params = init_mgn(jax.random.PRNGKey(0), cfg)
     vel = make_trajectory(pos, node_type, tl=1, dt=0.01, seed=0)[0]
     nf = np.zeros((template.num_nodes, 9), np.float32)
@@ -66,7 +78,8 @@ def main():
     @jax.jit
     def loop(graph):
         def body(_, g):
-            out = apply_mgn(params, g, cfg, row_offsets=row_offsets)
+            out = apply_mgn(params, g, cfg, row_offsets=row_offsets,
+                            fused_plan=template.fused_plan if use_fused else None)
             # feed a hash of the output back in so XLA cannot elide iterations
             nf = g.node_features.at[:, 0].add(0.0 * out[:, 0])
             return g.replace(node_features=nf)
@@ -87,6 +100,7 @@ def main():
         if prior:
             with open(prior[-1]) as f:
                 rec = json.load(f)
+            rec = rec.get("parsed", rec)  # driver wraps the JSON line
             if rec.get("unit") == "edges/sec" and rec.get("value"):
                 vs_baseline = edges_per_sec / float(rec["value"])
     except Exception:

@@ -65,7 +65,7 @@ class Args:
     aggregation_backend: Optional[str] = None  # None='auto' | 'xla' | 'pallas'
     unroll: bool = False  # unroll processor rounds (faster on TPU, bigger HLO)
     node_bucket_multiple: int = 128
-    edge_bucket_multiple: int = 128
+    edge_bucket_multiple: int = 512  # 512-edge chunks for the fused kernel
     data_axis: str = "data"  # device-mesh axis for trajectory batching
     graph_axis: str = "graph"  # device-mesh axis for edge partitioning
     prefetch: int = 2

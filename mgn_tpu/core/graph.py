@@ -80,6 +80,10 @@ class GraphTemplate(struct.PyTreeNode):
     node_mask: jax.Array  # (N_pad,) bool
     edge_mask: jax.Array  # (E_pad,) bool
     node_type: jax.Array  # (N_pad,) int32 raw node type (padded with -1)
+    # banding plan for the fused VMEM-resident round kernel (ops/fused.py);
+    # present when every 128-edge chunk's sender/receiver windows are narrow
+    # (spatially ordered nodes), None otherwise
+    fused_plan: Optional[object] = None
 
     @property
     def num_nodes(self) -> int:
@@ -235,6 +239,7 @@ def build_template(
     node_bucket: Optional[int] = None,
     edge_bucket: Optional[int] = None,
     bucket_multiple: int = 128,
+    edge_bucket_multiple: int = 512,
 ) -> GraphTemplate:
     """Build the per-trajectory static graph structure (host-side).
 
@@ -280,7 +285,9 @@ def build_template(
     n_pad = node_bucket or bucket_size(n + 1, bucket_multiple)
     if n_pad <= n:
         raise ValueError("node bucket must leave at least one padded slot")
-    e_pad = edge_bucket or bucket_size(e, bucket_multiple)
+    # edges bucket to a larger multiple so the fused round kernel can use
+    # MXU-efficient 512-edge chunks (ops/fused.py)
+    e_pad = edge_bucket or bucket_size(e, edge_bucket_multiple)
 
     # Padded (dead) edges point at the last padded node so real nodes never
     # receive garbage, and receiver-sortedness is preserved.
@@ -298,7 +305,12 @@ def build_template(
     mef = relative_mesh_features(mesh_pos, senders, receivers)
     mef = pad_to(mef, e_pad, fill=0)
 
+    from mgn_tpu.ops.fused import build_fused_plan
+
+    fused_plan = build_fused_plan(senders_p, receivers_p, n_pad)
+
     return GraphTemplate(
+        fused_plan=fused_plan,
         node_type_onehot=jnp.asarray(onehot),
         mesh_edge_features=jnp.asarray(mef),
         senders=jnp.asarray(senders_p),

@@ -53,6 +53,10 @@ class MGNConfig:
     gather_backend: str = "take"
     sender_band: int = 512
     receiver_band: int = 256
+    # run the processor rounds through the fused VMEM-resident Pallas kernel
+    # (ops/fused.py) when the graph carries a banding plan; the biggest
+    # single-chip perf lever (docs/performance.md "Round-2 kernel plan")
+    fused: bool = False
 
 
 def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
@@ -84,11 +88,15 @@ def apply_mgn(
     graph: MeshGraph,
     cfg: MGNConfig,
     row_offsets: Optional[jax.Array] = None,
+    fused_plan: Optional[Any] = None,
 ) -> jax.Array:
     """Forward pass. Returns per-node outputs ``(N_pad, output_dim)`` float32.
 
     ``row_offsets`` (CSR offsets from the graph template) routes aggregation
-    through the Pallas TPU kernel when available.
+    through the banded/Pallas TPU kernels; ``fused_plan`` (a
+    :class:`mgn_tpu.ops.fused.FusedPlan` from the template) together with
+    ``cfg.fused`` routes the whole processor through the VMEM-resident fused
+    round kernel.
     """
     dt = cfg.compute_dtype
     n_pad = graph.node_features.shape[0]
@@ -97,6 +105,15 @@ def apply_mgn(
     v = apply_mlp(params["node_encoder"], graph.node_features, dt)  # (N, L)
     e = apply_mlp(params["edge_encoder"], graph.edge_features, dt)  # (E, L)
     e = e * edge_valid
+
+    if cfg.fused and fused_plan is not None:
+        from mgn_tpu.ops.fused import fused_process
+
+        interpret = jax.default_backend() != "tpu"
+        v = fused_process(params["processor"], v, e, fused_plan,
+                          graph.senders, graph.receivers, edge_valid,
+                          cfg.message_passing_steps, interpret=interpret)
+        return apply_mlp(params["decoder"], v, dt).astype(jnp.float32)
 
     if cfg.gather_backend == "banded":
         from mgn_tpu.ops.banded import banded_gather

@@ -1,0 +1,348 @@
+"""Fused VMEM-resident message-passing rounds (Pallas/Mosaic TPU kernel).
+
+The round-1 bisection (docs/performance.md "Round-2 kernel plan") showed the
+Encode-Process-Decode forward is HBM-bound: every processor round moves
+~35-40 MB of intermediates (gathered sender/receiver features, messages,
+aggregates) through HBM while only ~6 MB of state actually exists.  This
+kernel keeps the whole graph state resident in VMEM across all
+``message_passing_steps`` rounds:
+
+- node latents ``v (N, L)``, edge latents ``e (E, L)`` and the f32
+  aggregation buffer live in VMEM **scratch** that persists across a
+  ``grid=(mps,)`` — one grid step per processor round;
+- per-round MLP weights stream from HBM via BlockSpec index maps (double-
+  buffered by the Pallas pipeline), so VMEM holds 2 rounds of weights, not 15;
+- TPU has no vector-gather, so sender/receiver lookups are **banded one-hot
+  matmuls**: edges are processed in static 128-edge chunks; for each chunk a
+  host-precomputed aligned window start (scalar-prefetched) selects a narrow
+  band of node rows, and ``onehot[w, j] = (rel_idx[j] == w)`` turns gather
+  (``onehotᵀ @ v_band``) and scatter-add (``onehot @ msg``) into MXU work.
+  Spatially ordered nodes (``data.prep spatial_reorder`` /
+  ``parallel.partition``) keep the bands narrow;
+- padded edges need no masking: the graph template points them at the last
+  padded node (core/graph.py ``build_template``), so their messages only ever
+  pollute a node that every downstream consumer masks.
+
+This is the native-kernel heart of the framework — the op hidden inside
+GraphNetCore's ``mgn.model(graph, ps, st)`` in the reference (call sites
+/root/reference/src/solve.jl:198-200, /root/reference/src/strategies.jl:421).
+
+Backward: ``custom_vjp`` that recomputes the rounds with plain XLA ops from
+the saved ``(v0, e0)`` — same math, so gradients are exact; the fused forward
+speeds up rollout/inference and the recompute keeps training correct.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FusedPlan", "build_fused_plan", "fused_process",
+           "process_rounds_xla"]
+
+_ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
+
+
+class FusedPlan(struct.PyTreeNode):
+    """Host-precomputed static banding plan for one graph template."""
+
+    rel_s: jax.Array  # (C, chunk) int32 — senders - starts_s[c]
+    rel_r: jax.Array  # (C, chunk) int32 — receivers - starts_r[c]
+    starts_s: jax.Array  # (C,) int32, _ALIGN-aligned
+    starts_r: jax.Array  # (C,) int32, _ALIGN-aligned
+    band_s: int = struct.field(pytree_node=False, default=0)
+    band_r: int = struct.field(pytree_node=False, default=0)
+    chunk: int = struct.field(pytree_node=False, default=512)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
+def build_fused_plan(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    max_band_s: int = 2048,
+    max_band_r: int = 1024,
+    chunk: int = 512,
+) -> Optional[FusedPlan]:
+    """Banding plan over static ``chunk``-edge chunks; ``None`` when any
+    chunk's sender/receiver window exceeds the band caps (spatially unordered
+    mesh — callers fall back to the unfused path).  Larger chunks mean larger
+    (more MXU-efficient) matmuls but wider bands; ``chunk`` must be a
+    multiple of 128 (int32 lane width) and divide the padded edge count."""
+    senders = np.asarray(senders, np.int32)
+    receivers = np.asarray(receivers, np.int32)
+    e = senders.shape[0]
+    while chunk > 128 and e % chunk != 0:
+        chunk //= 2
+    if e % chunk != 0 or chunk % 128 != 0 or num_nodes % 128 != 0:
+        return None
+
+    def plan_axis(idx, max_band):
+        chunks = idx.reshape(-1, chunk)
+        starts = (chunks.min(1) // _ALIGN) * _ALIGN
+        span = chunks.max(1) - starts + 1
+        band = _round_up(span.max(), 128)
+        if band > max_band or band > num_nodes:
+            return None
+        starts = np.minimum(starts, num_nodes - band).astype(np.int32)
+        rel = (chunks - starts[:, None]).astype(np.int32)
+        return starts, rel, int(band)
+
+    ps = plan_axis(senders, max_band_s)
+    pr = plan_axis(receivers, max_band_r)
+    if ps is None or pr is None:
+        return None
+    return FusedPlan(
+        rel_s=jnp.asarray(ps[1]), rel_r=jnp.asarray(pr[1]),
+        starts_s=jnp.asarray(ps[0]), starts_r=jnp.asarray(pr[0]),
+        band_s=ps[2], band_r=pr[2], chunk=chunk,
+    )
+
+
+# --- parameter flattening ----------------------------------------------------
+# the processor params pytree (models/mgn.init_mgn) has every leaf stacked on
+# a leading (mps,) axis; the kernel takes them as a flat, fixed-order list.
+
+def _flatten_proc(proc: Dict[str, Any]):
+    """Fixed-order leaf list; (mps, L) vectors become (mps, 1, L) so the
+    per-round BlockSpec (1, 1, L) satisfies Mosaic's block-shape rules."""
+    leaves = []
+    for mlp in ("edge_mlp", "node_mlp"):
+        p = proc[mlp]
+        leaves.extend(p["w"])
+        leaves.extend(w.reshape(w.shape[0], 1, w.shape[1]) for w in p["b"])
+        leaves.append(p["ln_scale"].reshape(p["ln_scale"].shape[0], 1, -1))
+        leaves.append(p["ln_bias"].reshape(p["ln_bias"].shape[0], 1, -1))
+    return leaves
+
+
+def _mlp_slot_counts(proc: Dict[str, Any]) -> Tuple[int, int]:
+    return len(proc["edge_mlp"]["w"]), len(proc["node_mlp"]["w"])
+
+
+# --- the kernel --------------------------------------------------------------
+
+def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
+                 chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
+                 cdtype):
+    chunks = e // chunk
+    f32 = jnp.float32
+
+    def mlp(h_parts, ws, bs, ln_scale, ln_bias, w0_splits):
+        """First layer computed from parts (no concat); then hidden+out+LN."""
+        acc = None
+        off = 0
+        w0 = ws[0]
+        for p, d in zip(h_parts, w0_splits):
+            acc_p = jax.lax.dot_general(
+                p, w0[off:off + d, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            acc = acc_p if acc is None else acc + acc_p
+            off += d
+        h = acc.astype(cdtype) + bs[0]
+        for i in range(1, len(ws)):
+            h = jnp.maximum(h, 0)
+            h = jax.lax.dot_general(
+                h, ws[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype) + bs[i]
+        h32 = h.astype(f32)
+        mean = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+        h32 = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (h32 * ln_scale + ln_bias).astype(cdtype)
+
+    def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
+               v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
+        weight_refs = refs[: n_layers_e * 2 + 2 + n_layers_n * 2 + 2]
+        vout_ref = refs[-4]
+        v_ref, e_ref, agg_ref = refs[-3:]
+
+        i = 0
+        ew = [weight_refs[i + k][0] for k in range(n_layers_e)]
+        i += n_layers_e
+        eb = [weight_refs[i + k][0] for k in range(n_layers_e)]
+        i += n_layers_e
+        eln_s, eln_b = weight_refs[i][0], weight_refs[i + 1][0]
+        i += 2
+        nw = [weight_refs[i + k][0] for k in range(n_layers_n)]
+        i += n_layers_n
+        nb = [weight_refs[i + k][0] for k in range(n_layers_n)]
+        i += n_layers_n
+        nln_s, nln_b = weight_refs[i][0], weight_refs[i + 1][0]
+
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _():
+            v_ref[:] = v0_ref[:]
+            e_ref[:] = e0_ref[:]
+
+        agg_ref[:] = jnp.zeros((n, latent), f32)
+
+        def edge_chunk(c, _):
+            # starts are _ALIGN-aligned by plan construction; tell Mosaic
+            ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
+            sr = pl.multiple_of(starts_r_ref[c], _ALIGN)
+            rel_s = rel_s_ref[c]  # (chunk,)
+            rel_r = rel_r_ref[c]
+            base = pl.multiple_of(c * chunk, chunk)
+            e_c = e_ref[pl.ds(base, chunk), :]
+            v_band_s = v_ref[pl.ds(ss, band_s), :]
+            v_band_r = v_ref[pl.ds(sr, band_r), :]
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
+                    == rel_s[None, :]).astype(cdtype)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
+                    == rel_r[None, :]).astype(cdtype)
+            vs = jax.lax.dot_general(  # onehotᵀ @ band — gather
+                oh_s, v_band_s, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            vr = jax.lax.dot_general(
+                oh_r, v_band_r, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            msg = mlp((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                      (latent, latent, latent))
+            e_ref[pl.ds(base, chunk), :] = e_c + msg
+            contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
+                oh_r, msg, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            agg_ref[pl.ds(sr, band_r), :] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, chunks, edge_chunk, 0, unroll=True)
+
+        # node stage: no gather — whole-array MXU matmuls over (N, L)
+        v_all = v_ref[:]
+        agg_all = agg_ref[:].astype(cdtype)
+        upd = mlp((v_all, agg_all), nw, nb, nln_s, nln_b, (latent, latent))
+        v_ref[:] = v_all + upd
+
+        @pl.when(r == mps - 1)
+        def _():
+            vout_ref[:] = v_ref[:]
+
+    return kernel
+
+
+def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
+                    n_layers_e: int, n_layers_n: int, interpret: bool):
+    n, latent = v0.shape
+    e = e0.shape[0]
+    cdtype = v0.dtype
+    kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
+                          n_layers_e, n_layers_n, mps, cdtype)
+
+    def full(arr):  # same full block every round
+        shape = arr.shape
+        return pl.BlockSpec(shape, lambda r, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_round(arr):  # (mps, ...) — round r's slice
+        shape = (1,) + arr.shape[1:]
+        ndim_rest = len(arr.shape) - 1
+        return pl.BlockSpec(shape, lambda r, *_: (r,) + (0,) * ndim_rest,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [full(v0), full(e0), full(plan.rel_s), full(plan.rel_r)]
+    in_specs += [per_round(w) for w in proc_leaves]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(mps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(v0.shape, lambda r, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, latent), cdtype),
+            pltpu.VMEM((e, latent), cdtype),
+            pltpu.VMEM((n, latent), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, latent), cdtype),
+        interpret=interpret,
+    )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
+      *proc_leaves)
+
+
+def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
+                       mps: int, cdtype, n_pad: int,
+                       row_offsets=None, backend=None):
+    """Reference processor rounds in plain XLA (the unfused block math) —
+    used as the fused kernel's backward recompute and in equality tests."""
+    from mgn_tpu.models.mlp import apply_mlp_parts
+    from mgn_tpu.ops.segment import gather, segment_sum
+
+    def block(carry, bp):
+        v, e = carry
+        vs = gather(v, senders)
+        vr = gather(v, receivers)
+        msg = apply_mlp_parts(bp["edge_mlp"], (e, vs, vr), cdtype)
+        msg = msg * edge_valid
+        agg = segment_sum(msg, receivers, n_pad, row_offsets=row_offsets,
+                          backend=backend).astype(cdtype)
+        upd = apply_mlp_parts(bp["node_mlp"], (v, agg), cdtype)
+        return (v + upd, e + msg), None
+
+    (v, _), _ = jax.lax.scan(block, (v0, e0), proc_params)
+    return v
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
+                interpret: bool):
+    """Cached custom_vjp wrapper per static configuration."""
+
+    def _primal(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+        leaves = _flatten_proc(proc_params)
+        return _pallas_forward(leaves, v0, e0, plan, mps,
+                               n_layers_e, n_layers_n, interpret)
+
+    @jax.custom_vjp
+    def fused(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+        return _primal(proc_params, v0, e0, plan, senders, receivers,
+                       edge_valid)
+
+    def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+        out = _primal(proc_params, v0, e0, plan, senders, receivers,
+                      edge_valid)
+        return out, (proc_params, v0, e0, senders, receivers, edge_valid)
+
+    def bwd(res, g):
+        proc_params, v0, e0, senders, receivers, edge_valid = res
+        n_pad = v0.shape[0]
+
+        def recompute(p, v, e):
+            return process_rounds_xla(p, v, e, senders, receivers, edge_valid,
+                                      mps, v0.dtype, n_pad)
+
+        _, vjp = jax.vjp(recompute, proc_params, v0, e0)
+        dp, dv, de = vjp(g)
+        return dp, dv, de, None, None, None, None
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_process(proc_params, v0, e0, plan: FusedPlan, senders, receivers,
+                  edge_valid, mps: int, interpret: bool = False):
+    """Run ``mps`` processor rounds through the fused kernel.
+
+    ``proc_params`` is the stacked processor pytree (models/mgn.init_mgn);
+    ``senders``/``receivers``/``edge_valid`` are only consumed by the exact
+    XLA backward recompute.  Gradients flow to params, v0 and e0.
+    """
+    n_layers_e, n_layers_n = _mlp_slot_counts(proc_params)
+    fn = _make_fused(int(mps), n_layers_e, n_layers_n, bool(interpret))
+    return fn(proc_params, v0, e0, plan, senders, receivers, edge_valid)

@@ -66,7 +66,9 @@ def make_deriv_fn(
         values = dict(non_target_inputs)
         values.update(unpack_fields(y, spec))
         graph = assemble_graph(norm, template, values, spec)
-        out = apply_mgn(params, graph, model_cfg, row_offsets=template.row_offsets)
+        out = apply_mgn(params, graph, model_cfg,
+                        row_offsets=template.row_offsets,
+                        fused_plan=template.fused_plan)
         parts = []
         for ti, (f, sl) in enumerate(zip(spec.target_fields,
                                          spec.target_slices())):

@@ -25,7 +25,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["FIXED_METHODS", "odeint_fixed", "odeint_tsit5_adaptive"]
+__all__ = ["FIXED_METHODS", "odeint_fixed", "odeint_tsit5_adaptive",
+           "odeint_tsit5_bounded"]
 
 
 # --- Butcher tableaus (fixed-step) ------------------------------------------
@@ -214,6 +215,82 @@ def odeint_tsit5_adaptive(
         y, h, ep = advance_to(y, t0, t1, h, ep)
         return (y, h, ep), y
 
+    (_, _, _), ys = jax.lax.scan(
+        one_interval, (y0, h0, jnp.ones((), jnp.float32)),
+        (saveat[:-1], saveat[1:]),
+    )
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def odeint_tsit5_bounded(
+    f: Callable,
+    y0: jax.Array,
+    saveat: jax.Array,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    substeps_max: int = 8,
+    safety: float = 0.9,
+    remat: bool = False,
+) -> jax.Array:
+    """Differentiable adaptive Tsit5: a **static** budget of ``substeps_max``
+    controller-driven steps per save interval under ``lax.scan``.
+
+    This is the trainable counterpart of :func:`odeint_tsit5_adaptive` — the
+    TPU-native answer to the reference's backprop through arbitrary adaptive
+    OrdinaryDiffEq solvers via SciMLSensitivity
+    (/root/reference/src/strategies.jl:247-263): XLA needs static shapes, so
+    the unbounded ``while_loop`` becomes a fixed scan with masked no-op steps
+    once the interval end is reached; the final budgeted step force-lands on
+    the interval end (so the result always reaches every save point).
+
+    Gradients: the discrete adjoint of the *realized* step sequence — step
+    sizes and accept/reject decisions are ``stop_gradient``-ed (frozen
+    controller, the standard discretize-then-optimize treatment), so AD flows
+    through the RK updates only.  ``remat=True`` checkpoints each substep.
+    Cost: exactly ``substeps_max`` RK stages per interval regardless of how
+    early the controller converges — the price of static shapes.
+    """
+    dt_ref = saveat[1] - saveat[0]
+    sg = jax.lax.stop_gradient
+
+    def err_norm(err, y, ynew):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
+        # +tiny inside the sqrt keeps the gradient finite at err == 0 (the
+        # no-op steps); e itself is stop_gradient-ed anyway
+        return jnp.sqrt(jnp.mean((err / scale) ** 2) + 1e-24)
+
+    def one_interval(carry, interval):
+        t0, t1 = interval
+        y, h, ep = carry
+
+        def substep(c, i):
+            t, y, h, ep = c
+            remaining = t1 - t
+            done = remaining <= 1e-7 * jnp.abs(dt_ref)
+            last = i == substeps_max - 1
+            h_eff = sg(jnp.where(last, remaining, jnp.minimum(h, remaining)))
+            ks = _tsit5_stages(f, y, t, h_eff)
+            dy = sum(b * k for b, k in zip(_TSIT5_B, ks))
+            yerr = h_eff * sum(b * k for b, k in zip(_TSIT5_BTILDE, ks))
+            ynew = y + h_eff * dy
+            e = sg(err_norm(yerr, y, ynew)) + 1e-12
+            accept = (e <= 1.0) | last
+            fac = jnp.clip(safety * e ** -0.38 * (ep / e) ** 0.04, 0.2, 5.0)
+            h_next = sg(jnp.clip(h * fac, dt_ref * 1e-4, dt_ref * 10.0))
+            take = accept & ~done
+            return (
+                jnp.where(take, t + h_eff, t),
+                jnp.where(take, ynew, y),
+                jnp.where(done, h, h_next),
+                jnp.where(take, e, ep),
+            ), None
+
+        step_fn = jax.checkpoint(substep) if remat else substep
+        (t, y, h, ep), _ = jax.lax.scan(
+            step_fn, (t0, y, h, ep), jnp.arange(substeps_max))
+        return (y, h, ep), y
+
+    h0 = jnp.asarray(dt_ref, jnp.float32)
     (_, _, _), ys = jax.lax.scan(
         one_interval, (y0, h0, jnp.ones((), jnp.float32)),
         (saveat[:-1], saveat[1:]),

@@ -116,7 +116,8 @@ def make_derivative_trainer(
         def loss_fn(params):
             graph = assemble_graph(norm, template, u, spec)
             out = apply_mgn(params, graph, cfg.model,
-                            row_offsets=template.row_offsets)
+                            row_offsets=template.row_offsets,
+                            fused_plan=template.fused_plan)
             return masked_mse(out, target, update_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -218,7 +219,8 @@ def make_batched_derivative_trainer(
             def per_traj(template, u, target, update_mask):
                 graph = assemble_graph(norm, template, u, spec)
                 out = apply_mgn(params, graph, cfg.model,
-                                row_offsets=template.row_offsets)
+                                row_offsets=template.row_offsets,
+                                fused_plan=template.fused_plan)
                 m = update_mask.astype(jnp.float32)
                 sq = jnp.sum(jnp.sum((out - target) ** 2, -1) * m)
                 return sq, jnp.sum(m)
@@ -309,7 +311,8 @@ def make_union_derivative_trainer(
         def loss_fn(params):
             graph = assemble_graph(norm, template, u, spec)
             out = apply_mgn(params, graph, cfg.model,
-                            row_offsets=template.row_offsets)
+                            row_offsets=template.row_offsets,
+                            fused_plan=template.fused_plan)
             return masked_mse(out, target, update_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

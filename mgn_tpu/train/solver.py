@@ -38,7 +38,7 @@ from mgn_tpu.core import normalizers as N
 from mgn_tpu.core.graph import GraphTemplate
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.rollout.dynamics import make_deriv_fn
-from mgn_tpu.rollout.integrators import odeint_fixed
+from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_bounded
 from mgn_tpu.train.common import (FieldSpec, NormState, TrainState, type_mask)
 from mgn_tpu.train.strategies import MultipleShooting, SolverTraining
 
@@ -72,6 +72,18 @@ def make_solver_trainer(
     n_save = saveat.shape[0]
     substeps = (1 if strategy.solver_dt is None
                 else max(1, int(round(strategy.dt / strategy.solver_dt))))
+
+    if strategy.solver == "tsit5_adaptive":
+        # differentiable bounded-budget adaptive solve (frozen-controller
+        # discrete adjoint) — the reference's adaptive-solver training path
+        def integrate(deriv, y0, grid):
+            return odeint_tsit5_bounded(
+                deriv, y0, grid, rtol=strategy.rtol, atol=strategy.atol,
+                substeps_max=strategy.adaptive_substeps, remat=strategy.remat)
+    else:
+        def integrate(deriv, y0, grid):
+            return odeint_fixed(deriv, y0, grid, substeps=substeps,
+                                method=strategy.solver, remat=strategy.remat)
 
     def accumulate_norms(state: TrainState, template: GraphTemplate,
                          gt_fields: Dict[str, jax.Array],
@@ -136,8 +148,7 @@ def make_solver_trainer(
                 inflow_mask=inflow_mask, forcing_data=gt, forcing_times=saveat,
             )
             if isinstance(strategy, SolverTraining):
-                pred = odeint_fixed(deriv, gt[0], saveat, substeps=substeps,
-                                    method=strategy.solver, remat=strategy.remat)
+                pred = integrate(deriv, gt[0], saveat)
                 err = (normalized(pred) - gt_n) ** 2 * vm3
                 return jnp.sum(err) / (denom * n_save)
             # MultipleShooting
@@ -149,8 +160,7 @@ def make_solver_trainer(
 
             def window_loss(s, wt):
                 y0 = jax.lax.dynamic_index_in_dim(gt, s, 0, keepdims=False)
-                pred = odeint_fixed(deriv, y0, wt, substeps=substeps,
-                                    method=strategy.solver, remat=strategy.remat)
+                pred = integrate(deriv, y0, wt)
                 gt_w = jax.lax.dynamic_slice_in_dim(gt, s, strategy.interval_size, 0)
                 gt_w_n = jax.lax.dynamic_slice_in_dim(gt_n, s,
                                                       strategy.interval_size, 0)

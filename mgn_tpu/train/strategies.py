@@ -42,8 +42,14 @@ class SolverTraining:
     """Full-trajectory NeuralODE training over ``tstart:dt:tstop``.
 
     ``solver`` is a fixed-step method name from
-    :data:`mgn_tpu.rollout.integrators.FIXED_METHODS`; ``solver_dt`` defaults
-    to ``dt`` (one solver step per save interval).
+    :data:`mgn_tpu.rollout.integrators.FIXED_METHODS` or
+    ``'tsit5_adaptive'`` — differentiable bounded-budget adaptive Tsit5
+    (:func:`mgn_tpu.rollout.integrators.odeint_tsit5_bounded`; the role of
+    the reference's AD through adaptive OrdinaryDiffEq solvers,
+    /root/reference/src/strategies.jl:247-263).  ``solver_dt`` defaults to
+    ``dt`` (one fixed step per save interval); ``adaptive_substeps`` bounds
+    the controller steps per save interval and ``rtol``/``atol`` are its
+    tolerances (the reference's ``solargs``).
     """
 
     tstart: float
@@ -52,6 +58,9 @@ class SolverTraining:
     solver: str = "euler"
     solver_dt: Optional[float] = None
     remat: bool = True
+    adaptive_substeps: int = 8
+    rtol: float = 1e-4
+    atol: float = 1e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,9 +76,12 @@ class MultipleShooting:
     tstop: float
     interval_size: int = 10
     continuity_term: float = 100.0
-    solver: str = "euler"
+    solver: str = "euler"  # FIXED_METHODS name or 'tsit5_adaptive'
     solver_dt: Optional[float] = None
     remat: bool = True
+    adaptive_substeps: int = 8
+    rtol: float = 1e-4
+    atol: float = 1e-6
 
 
 TrainingStrategy = Union[DerivativeTraining, SolverTraining, MultipleShooting]

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,3 +79,32 @@ def test_remat_grad():
     g = jax.grad(loss)(1.0)
     # d/dk of 2*exp(-k) at k=1 is -2 exp(-1)
     assert abs(float(g) + 2 * np.exp(-1.0)) < 1e-4
+
+
+def test_bounded_adaptive_matches_analytic():
+    from mgn_tpu.rollout.integrators import odeint_tsit5_bounded
+
+    y0 = jnp.ones((3,))
+    saveat = jnp.linspace(0.0, 1.0, 6)
+    out = odeint_tsit5_bounded(exp_decay, y0, saveat, rtol=1e-6, atol=1e-8,
+                               substeps_max=6)
+    expected = jnp.exp(-saveat)[:, None] * y0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_bounded_adaptive_gradients_finite_and_correct():
+    from mgn_tpu.rollout.integrators import odeint_tsit5_bounded
+
+    saveat = jnp.linspace(0.0, 1.0, 5)
+
+    def loss(a):
+        f = lambda y, t: -a * y
+        out = odeint_tsit5_bounded(f, jnp.ones((2,)), saveat, substeps_max=4,
+                                   remat=True)
+        return jnp.sum(out[-1])
+
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    # d/da sum(2 * exp(-a)) at a=1 -> -2 e^-1
+    np.testing.assert_allclose(float(g), -2 * np.exp(-1.0), rtol=1e-3)
+    assert np.isfinite(float(g))
