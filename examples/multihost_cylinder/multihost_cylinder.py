@@ -37,7 +37,7 @@ from mgn_tpu.core.graph import cells_to_edges
 from mgn_tpu.data.pipeline import load_dataset
 from mgn_tpu.models.mgn import MGNConfig, init_mgn
 from mgn_tpu.parallel.mesh import mesh_shape_for
-from mgn_tpu.parallel.partition import partition_template
+from mgn_tpu.parallel.partition import add_halo_plan, partition_template
 from mgn_tpu.parallel.spmd import (batch_from_partitioned, make_device_mesh,
                                    make_spmd_derivative_step)
 from mgn_tpu.train.common import FieldSpec, NormState, TrainState
@@ -66,8 +66,7 @@ def main():
                        norm=NormState(edge=e_norm, node=n_norms,
                                       output=o_norms),
                        step=jnp.zeros((), jnp.int32))
-    step = make_spmd_derivative_step(mesh, cfg, spec, opt,
-                                     noise_stddevs=(0.02,), norm_steps=100)
+    step = None  # built after the first batch (needs boundary_start)
 
     # partition each trajectory once; batch data_ax trajectories per step
     parts = {}
@@ -80,15 +79,21 @@ def main():
             if i not in parts:
                 tr = ds.trajectory(i)
                 s, r = cells_to_edges(tr.cells)
-                parts[i] = (partition_template(tr.mesh_pos, tr.node_type, s, r,
-                                               graph_ax), tr)
+                pt = partition_template(tr.mesh_pos, tr.node_type, s, r,
+                                        graph_ax)
+                parts[i] = (add_halo_plan(pt), tr)
             pt, tr = parts[i]
             pts.append(pt)
             fls.append({f: tr.fields[f] for f in spec.fields})
             tms.append(tr.times)
         frames = rng.integers(0, ds.meta["trajectory_length"] - 1,
                               size=data_ax)
-        batch = batch_from_partitioned(pts, fls, tms, frames)
+        batch, bs = batch_from_partitioned(pts, fls, tms, frames)
+        if step is None:
+            step = make_spmd_derivative_step(mesh, cfg, spec, opt,
+                                             noise_stddevs=(0.02,),
+                                             norm_steps=100,
+                                             boundary_start=bs)
         state, loss = step(state, batch.tree(), jax.random.PRNGKey(it))
         if it % 10 == 0:
             log.log("train", step=int(state.step), loss=float(loss))

@@ -40,6 +40,10 @@ def main(argv=None):
     t.add_argument("--checkpoint", type=int, default=10_000)
     t.add_argument("--norm-steps", type=int, default=1000)
     t.add_argument("--batchsize", type=int, default=1)
+    t.add_argument("--graph-parallel", type=int, default=1,
+                   help="shard each mesh over this many devices (power of "
+                        "two); the SPMD step uses the boundary-halo exchange "
+                        "with comm/compute overlap")
     t.add_argument("--strategy", default="derivative",
                    choices=["derivative", "solver", "shooting"])
     t.add_argument("--tstart", type=float, default=0.0)
@@ -136,6 +140,7 @@ def main(argv=None):
                       args.cp_path, training_strategy=strategy,
                       steps=args.steps, checkpoint=args.checkpoint,
                       norm_steps=args.norm_steps, batchsize=args.batchsize,
+                      graph_parallel=args.graph_parallel,
                       metrics=log, **common)
     else:
         eval_network(args.ds_path, args.cp_path, args.out_path,

@@ -68,6 +68,10 @@ class Args:
     edge_bucket_multiple: int = 512  # 512-edge chunks for the fused kernel
     data_axis: str = "data"  # device-mesh axis for trajectory batching
     graph_axis: str = "graph"  # device-mesh axis for edge partitioning
+    # shard each trajectory's mesh over this many devices (power of two);
+    # together with batchsize this selects the (data, graph) device mesh and
+    # routes train_network through the SPMD halo-exchange step
+    graph_parallel: int = 1
     prefetch: int = 2
 
     # --- logging ---

@@ -46,16 +46,25 @@ def apply_mgn_sharded(
     row_offsets: Optional[jax.Array] = None,
     halo_serve: Optional[jax.Array] = None,  # (P, H) this part's serve slots
     senders_halo: Optional[jax.Array] = None,  # (E_p,) extended-table indices
+    boundary_start: Optional[int] = None,  # static: boundary edges at [bs:]
+    row_offsets_int: Optional[jax.Array] = None,  # (N_p+1,) CSR over [0:bs)
+    row_offsets_bnd: Optional[jax.Array] = None,  # (N_p+1,) CSR over [bs:)
 ) -> jax.Array:
     """Per-shard forward pass; call inside shard_map over ``axis_name``.
 
-    Two exchange modes per processor round:
+    Exchange modes per processor round:
 
     - **all-gather** (default): gather every part's latents, index globally.
-    - **halo** (when ``halo_serve``/``senders_halo`` given, see
+    - **halo** (``halo_serve``/``senders_halo`` given, see
       ``partition.add_halo_plan``): exchange only the boundary latents each
       neighbor actually references via one ``all_to_all`` — bytes on the wire
       drop from ``P*N_p*L`` to ``P*H*L`` per round.
+    - **halo + overlap** (``boundary_start`` also given): edges are
+      pre-split so the tail ``[boundary_start:]`` holds all remote-sender
+      edges; the interior edge-MLP + scatter-add has no data dependency on
+      the ``all_to_all``, so XLA's async-collective scheduler runs the
+      exchange and the interior compute concurrently (SURVEY.md §2.3
+      overlap engine) — boundary messages are added when the halo lands.
 
     Returns the local shard of decoded outputs (N_p, output_dim) float32.
     """
@@ -63,33 +72,59 @@ def apply_mgn_sharded(
     n_p = node_features.shape[0]
     edge_valid = edge_mask.astype(dt)[:, None]
     use_halo = halo_serve is not None and senders_halo is not None
+    use_split = use_halo and boundary_start is not None
 
     v = apply_mlp(params["node_encoder"], node_features, dt)
     e = apply_mlp(params["edge_encoder"], edge_features, dt) * edge_valid
 
+    def halo_recv(v):
+        send = jnp.take(v, halo_serve.reshape(-1), axis=0)  # (P*H, L)
+        p = halo_serve.shape[0]
+        send = send.reshape(p, halo_serve.shape[1], -1)
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # recv[q] = latents this part requested from part q
+        return recv.reshape(-1, v.shape[1])
+
     def exchange(v):
         if use_halo:
-            send = jnp.take(v, halo_serve.reshape(-1), axis=0)  # (P*H, L)
-            p = halo_serve.shape[0]
-            send = send.reshape(p, halo_serve.shape[1], -1)
-            recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
-                                      concat_axis=0, tiled=False)
-            # recv[q] = latents this part requested from part q
-            ext = jnp.concatenate([v, recv.reshape(-1, v.shape[1])], axis=0)
+            ext = jnp.concatenate([v, halo_recv(v)], axis=0)
             return jnp.take(ext, senders_halo, axis=0)
         v_full = jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
         return jnp.take(v_full, senders_global, axis=0)
 
     def block(carry, block_params):
         v, e = carry
-        vs = exchange(v)
-        vr = jnp.take(v, receivers_local, axis=0)
-        msg = apply_mlp_parts(block_params["edge_mlp"], (e, vs, vr), dt)
-        msg = msg * edge_valid
-        agg = segment_sum(
-            msg, receivers_local, n_p, row_offsets=row_offsets,
-            backend=cfg.aggregation_backend,
-        ).astype(dt)
+        if use_split:
+            bs = boundary_start
+            # issue the exchange first; interior compute below does not
+            # depend on it, so the collective flies while the MXU works
+            recv = halo_recv(v)
+            vs_i = jnp.take(v, senders_halo[:bs], axis=0)
+            vr_i = jnp.take(v, receivers_local[:bs], axis=0)
+            msg_i = apply_mlp_parts(block_params["edge_mlp"],
+                                    (e[:bs], vs_i, vr_i), dt) * edge_valid[:bs]
+            agg = segment_sum(msg_i, receivers_local[:bs], n_p,
+                              row_offsets=row_offsets_int,
+                              backend=cfg.aggregation_backend)
+            vs_b = jnp.take(recv, senders_halo[bs:] - n_p, axis=0)
+            vr_b = jnp.take(v, receivers_local[bs:], axis=0)
+            msg_b = apply_mlp_parts(block_params["edge_mlp"],
+                                    (e[bs:], vs_b, vr_b), dt) * edge_valid[bs:]
+            agg = (agg + segment_sum(msg_b, receivers_local[bs:], n_p,
+                                     row_offsets=row_offsets_bnd,
+                                     backend=cfg.aggregation_backend)
+                   ).astype(dt)
+            msg = jnp.concatenate([msg_i, msg_b], axis=0)
+        else:
+            vs = exchange(v)
+            vr = jnp.take(v, receivers_local, axis=0)
+            msg = apply_mlp_parts(block_params["edge_mlp"], (e, vs, vr), dt)
+            msg = msg * edge_valid
+            agg = segment_sum(
+                msg, receivers_local, n_p, row_offsets=row_offsets,
+                backend=cfg.aggregation_backend,
+            ).astype(dt)
         upd = apply_mlp_parts(block_params["node_mlp"], (v, agg), dt)
         return (v + upd, e + msg), None
 

@@ -53,6 +53,15 @@ class PartitionedTemplate:
     # senders_halo[p, e]: index into [own (N_p) ; halo (P*H)] extended table
     senders_halo: Optional[np.ndarray] = None  # (P, E_p) int32
     halo_size: int = 0  # H
+    # --- interior/boundary split (comm/compute overlap) ---------------------
+    # when set, each part's edges are reordered so edges whose sender is
+    # remote occupy the static tail [boundary_start:]; interior message
+    # passing then has no data dependency on the halo all_to_all, and XLA's
+    # async-collective scheduler overlaps the exchange with the interior
+    # edge-MLP + scatter-add (SURVEY.md §2.3 overlap engine)
+    boundary_start: Optional[int] = None
+    row_offsets_int: Optional[np.ndarray] = None  # (P, N_p+1) CSR over [0:bs)
+    row_offsets_bnd: Optional[np.ndarray] = None  # (P, N_p+1) CSR over [bs:)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -170,14 +179,25 @@ def partition_template(
 
 
 def add_halo_plan(pt: PartitionedTemplate,
-                  halo_multiple: int = 8) -> PartitionedTemplate:
+                  halo_multiple: int = 8,
+                  split_boundary: bool = True,
+                  force_halo_size: Optional[int] = None,
+                  force_boundary_cap: Optional[int] = None) -> PartitionedTemplate:
     """Precompute the boundary-halo exchange plan (host-side, once).
 
     For each ordered part pair (p, q) the plan records which of p's local node
     slots part q's edges reference ("p serves q"); per round the devices
     exchange only those boundary latents via one ``all_to_all`` instead of
-    all-gathering every node (SURVEY.md §2.3 overlap engine).  Sender indices
-    are rewritten into the extended table ``[own nodes ; received halo]``.
+    all-gathering every node.  Sender indices are rewritten into the extended
+    table ``[own nodes ; received halo]``.
+
+    ``split_boundary``: additionally reorder each part's edges so
+    remote-sender (boundary) edges occupy a shared static tail
+    ``[boundary_start:]`` — interior messages then depend only on local
+    latents, so the halo exchange overlaps with interior compute (SURVEY.md
+    §2.3 overlap engine).  Each group stays receiver-sorted with its own CSR
+    offsets.  Skipped (with the plan still built) if the edge bucket cannot
+    hold ``max_interior + max_boundary``.
     """
     P, n_p = pt.num_parts, pt.part_nodes
     # requests[p][q] = sorted unique local-slots-of-q referenced by p's edges
@@ -194,6 +214,10 @@ def add_halo_plan(pt: PartitionedTemplate,
     h = max((len(requests[p][q]) for p in range(P) for q in range(P)),
             default=0)
     h = max(halo_multiple, int(-(-h // halo_multiple) * halo_multiple))
+    if force_halo_size is not None:
+        if force_halo_size < h:
+            raise ValueError(f"forced halo size {force_halo_size} < required {h}")
+        h = force_halo_size
 
     serve = np.zeros((P, P, h), np.int32)
     serve_mask = np.zeros((P, P, h), bool)
@@ -205,6 +229,7 @@ def add_halo_plan(pt: PartitionedTemplate,
 
     # extended-table sender indices: own slot, or N_p + q*h + pos-in-request
     senders_halo = np.zeros_like(pt.senders_global)
+    is_boundary = np.zeros_like(pt.edge_mask)
     for p in range(P):
         sg = pt.senders_global[p].astype(np.int64)
         owner = sg // n_p
@@ -224,7 +249,59 @@ def add_halo_plan(pt: PartitionedTemplate,
         dead = ~pt.edge_mask[p]
         out[dead] = n_p - 1
         senders_halo[p] = out.astype(np.int32)
+        is_boundary[p] = (~own) & pt.edge_mask[p]
 
-    return dataclasses.replace(pt, halo_serve=serve,
-                               halo_serve_mask=serve_mask,
-                               senders_halo=senders_halo, halo_size=h)
+    pt = dataclasses.replace(pt, halo_serve=serve, halo_serve_mask=serve_mask,
+                             senders_halo=senders_halo, halo_size=h)
+    if not split_boundary:
+        return pt
+
+    e_p = pt.senders_global.shape[1]
+    n_bnd = is_boundary.sum(1)
+    n_int = pt.edge_mask.sum(1) - n_bnd
+    e_b = int(-(-int(n_bnd.max()) // 128) * 128) if n_bnd.max() else 0
+    if force_boundary_cap is not None:
+        if force_boundary_cap < e_b:
+            raise ValueError(
+                f"forced boundary cap {force_boundary_cap} < required {e_b}")
+        e_b = force_boundary_cap
+    bs = e_p - e_b  # boundary_start
+    if int(n_int.max()) > bs:
+        return pt  # bucket too tight for the split; halo still usable
+
+    sg2 = np.zeros_like(pt.senders_global)
+    sh2 = np.zeros_like(pt.senders_halo)
+    rl2 = np.full_like(pt.receivers_local, n_p - 1)
+    mef2 = np.zeros_like(pt.mesh_edge_features)
+    em2 = np.zeros_like(pt.edge_mask)
+    rows_i = np.zeros((P, n_p + 1), np.int32)
+    rows_b = np.zeros((P, n_p + 1), np.int32)
+    for p in range(P):
+        for grp, (sel, off, rows) in enumerate((
+                (~is_boundary[p] & pt.edge_mask[p], 0, rows_i),
+                (is_boundary[p], bs, rows_b))):
+            idx = np.nonzero(sel)[0]  # stable: stays receiver-sorted
+            k = len(idx)
+            sg2[p, off:off + k] = pt.senders_global[p, idx]
+            sh2[p, off:off + k] = pt.senders_halo[p, idx]
+            rl2[p, off:off + k] = pt.receivers_local[p, idx]
+            mef2[p, off:off + k] = pt.mesh_edge_features[p, idx]
+            em2[p, off:off + k] = True
+            cap = bs if grp == 0 else e_b
+            row = csr_row_offsets(pt.receivers_local[p, idx], n_p - 1)
+            rows[p, :n_p] = row
+            rows[p, n_p] = cap  # group's dead edges land on the padded slot
+        # dead-edge senders: interior region -> own trash slot; boundary
+        # region -> halo slot 0 (edge_mask already zeroes their messages)
+        sg2[p, int(n_int[p]):bs] = p * n_p + (n_p - 1)
+        sh2[p, int(n_int[p]):bs] = n_p - 1
+        if e_b:
+            k_b = int(n_bnd[p])
+            sg2[p, bs + k_b:] = p * n_p + (n_p - 1)
+            sh2[p, bs + k_b:] = n_p  # first halo slot; masked anyway
+
+    return dataclasses.replace(
+        pt, senders_global=sg2, senders_halo=sh2, receivers_local=rl2,
+        mesh_edge_features=mef2, edge_mask=em2, boundary_start=bs,
+        row_offsets_int=rows_i, row_offsets_bnd=rows_b,
+        row_offsets=None)  # full-array CSR is invalidated by the reorder

@@ -85,7 +85,7 @@ class FieldSpec:
 def type_mask(node_type: jax.Array, types: Sequence[int]) -> jax.Array:
     """True where node_type ∈ types. (Padded nodes have type -1 → False.)"""
     types_arr = jnp.asarray(list(types), jnp.int32)
-    return jnp.any(node_type[:, None] == types_arr[None, :], axis=1)
+    return jnp.any(node_type[..., None] == types_arr, axis=-1)
 
 
 def pack_fields(values: Dict[str, jax.Array], spec: FieldSpec) -> jax.Array:
