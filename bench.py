@@ -87,9 +87,11 @@ def main():
         return jax.lax.fori_loop(0, iters, body, graph)
 
     loop(graph).node_features.block_until_ready()  # compile
-    t0 = time.perf_counter()
-    loop(graph).node_features.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):  # best-of-3 against chip/tunnel noise
+        t0 = time.perf_counter()
+        loop(graph).node_features.block_until_ready()
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     edges_per_sec = e_real * cfg.message_passing_steps / dt
 

@@ -65,25 +65,43 @@ def main():
         rng = np.random.default_rng(0)
         nfp = rng.normal(size=(pt.num_parts, pt.part_nodes, 9)).astype(np.float32)
 
-        def f(nf_s, ef_s, sg, rl, nm, em, hs, sh):
-            out = apply_mgn_sharded(params, nf_s[0], ef_s[0], sg[0], rl[0],
-                                    nm[0], em[0], cfg, axis_name="graph",
-                                    halo_serve=hs[0], senders_halo=sh[0])
-            return out[None]
+        def make_fn(mode):
+            def f(nf_s, ef_s, sg, rl, nm, em, hs, sh, roi, rob):
+                kw = {}
+                if mode in ("halo", "halo-split"):
+                    kw = dict(halo_serve=hs[0], senders_halo=sh[0])
+                if mode == "halo-split":
+                    kw.update(boundary_start=pt.boundary_start,
+                              row_offsets_int=roi[0], row_offsets_bnd=rob[0])
+                out = apply_mgn_sharded(params, nf_s[0], ef_s[0], sg[0], rl[0],
+                                        nm[0], em[0], cfg, axis_name="graph",
+                                        **kw)
+                return out[None]
 
-        fn = jax.jit(shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 8,
-                               out_specs=P("graph"), check_vma=False))
+            return jax.jit(shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 10,
+                                     out_specs=P("graph"), check_vma=False))
+
+        zeros = jnp.zeros((pt.num_parts, 1), jnp.int32)
         args = (jnp.asarray(nfp), jnp.asarray(pt.mesh_edge_features),
                 jnp.asarray(pt.senders_global), jnp.asarray(pt.receivers_local),
                 jnp.asarray(pt.node_mask), jnp.asarray(pt.edge_mask),
-                jnp.asarray(pt.halo_serve), jnp.asarray(pt.senders_halo))
-        fn(*args)[0].block_until_ready()
-        iters = 20 if backend == "tpu" else 2
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+                jnp.asarray(pt.halo_serve), jnp.asarray(pt.senders_halo),
+                jnp.asarray(pt.row_offsets_int) if pt.boundary_start is not None else zeros,
+                jnp.asarray(pt.row_offsets_bnd) if pt.boundary_start is not None else zeros)
+        modes = ["allgather", "halo"]
+        if pt.boundary_start is not None:
+            modes.append("halo-split")
+        timings = {}
+        for mode in modes:
+            fn = make_fn(mode)
+            fn(*args)[0].block_until_ready()
+            iters = 20 if backend == "tpu" else 2
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            out.block_until_ready()
+            timings[mode] = (time.perf_counter() - t0) / iters
+        dt = timings.get("halo-split", timings["halo"])
         eps = e * mps / dt
         if base_eps is None:
             base_eps = eps
@@ -94,9 +112,11 @@ def main():
             "edges_per_sec": round(eps, 1),
             "per_chip": round(eps / p_count, 1),
             "efficiency_vs_1": round(eps / (base_eps * p_count), 3),
+            "ms_per_fwd": {m: round(t * 1e3, 3) for m, t in timings.items()},
             "halo_bytes_per_fwd_per_chip": bytes_halo,
             "allgather_bytes_per_fwd_per_chip": bytes_ag,
             "halo_comm_fraction": round(bytes_halo / bytes_ag, 3),
+            "boundary_start": pt.boundary_start,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)

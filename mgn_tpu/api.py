@@ -49,6 +49,7 @@ def build_model_config(meta: Dict[str, Any], args: Args) -> Tuple[MGNConfig, Fie
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
         aggregation_backend=args.aggregation_backend,
         unroll=args.unroll,
+        fused=args.fused,
     )
     return cfg, spec
 
@@ -179,7 +180,8 @@ def train_network(
         i = i % dataset.num_trajectories
         if i not in prepared_cache:
             prepared_cache[i] = prepare_trajectory(
-                dataset.trajectory(i), meta, spec, node_bucket, edge_bucket)
+                dataset.trajectory(i), meta, spec, node_bucket, edge_bucket,
+                spatial_reorder=args.spatial_reorder)
         return prepared_cache[i]
 
     def sample_perm(prep):
@@ -259,7 +261,8 @@ def _validation_sweep(dataset, meta, spec, args: Args, state: TrainState,
     n = max(dataset.num_valid, 1)
     for i in range(dataset.num_valid):
         prep = prepare_trajectory(dataset.trajectory(i, valid=True), meta, spec,
-                                  node_bucket, edge_bucket)
+                                  node_bucket, edge_bucket,
+                                  spatial_reorder=args.spatial_reorder)
         pred = rollout_fn(state.params, state.norm, prep.template, prep.fields,
                           prep.times)
         gt = jnp.concatenate([prep.fields[f] for f in spec.target_fields], -1)
@@ -429,7 +432,8 @@ def eval_network(
     exports = []
     for i in range(min(args.num_rollouts, dataset.num_trajectories)):
         traj = dataset.trajectory(i)
-        prep = prepare_trajectory(traj, meta, spec, node_bucket, edge_bucket)
+        prep = prepare_trajectory(traj, meta, spec, node_bucket, edge_bucket,
+                                  spatial_reorder=args.spatial_reorder)
         times = prep.times
         if saves is not None:
             times = jnp.asarray(saves, jnp.float32)
@@ -438,6 +442,9 @@ def eval_network(
                 times = times[times >= start - 1e-9]
             if stop is not None:
                 times = times[times <= stop + 1e-9]
+        if i == 0:  # compile warm-up so steps_per_second is pure rollout time
+            jax.block_until_ready(rollout_fn(params, norm, prep.template,
+                                             prep.fields, times, prep.times))
         t0 = time.time()
         pred = rollout_fn(params, norm, prep.template, prep.fields, times,
                           prep.times)
@@ -451,8 +458,10 @@ def eval_network(
                             + 1e-4 * np.diff(data_t).min(), side="right") - 1,
             0, len(data_t) - 1)
         gt = gt[fidx]
-        report = rollout_error_report(np.asarray(pred), np.asarray(gt),
-                                      prep.num_nodes, mse_steps)
+        # back to the dataset's node order (identity unless spatial_reorder)
+        pred_u = prep.unpermute(np.asarray(pred))
+        gt_u = prep.unpermute(np.asarray(gt))
+        report = rollout_error_report(pred_u, gt_u, prep.num_nodes, mse_steps)
         report["rollout_seconds"] = time.time() - t0
         report["steps_per_second"] = (pred.shape[0] - 1) / max(
             report["rollout_seconds"], 1e-9)
@@ -463,8 +472,8 @@ def eval_network(
         exports.append({
             "mesh_pos": traj.mesh_pos,
             "cells": traj.cells,
-            "gt": np.asarray(gt)[:, : prep.num_nodes],
-            "prediction": np.asarray(pred)[:, : prep.num_nodes],
+            "gt": gt_u,
+            "prediction": pred_u,
             "error": report["error"],
             "timesteps": np.asarray(times),
         })

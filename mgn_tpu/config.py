@@ -64,6 +64,11 @@ class Args:
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
     aggregation_backend: Optional[str] = None  # None='auto' | 'xla' | 'pallas'
     unroll: bool = False  # unroll processor rounds (faster on TPU, bigger HLO)
+    # permute nodes into spatial sweep order at prep time: narrow index bands
+    # enable the fused round kernel (ops/fused.py) and banded gathers;
+    # per-node outputs are un-permuted before export
+    spatial_reorder: bool = False
+    fused: bool = False  # route the processor through the fused round kernel
     node_bucket_multiple: int = 128
     edge_bucket_multiple: int = 512  # 512-edge chunks for the fused kernel
     data_axis: str = "data"  # device-mesh axis for trajectory batching

@@ -53,6 +53,52 @@ def to_h5(src: str, dst: str) -> None:
             print(f"wrote {path} ({count} trajectories)")
 
 
+def to_tfrecord(src: str, dst: str) -> None:
+    """Export any readable dataset to DeepMind-schema TFRecord files."""
+    from mgn_tpu.data.tfrecord_writer import write_tfrecord_dataset
+
+    meta = dict(load_meta(src))
+    tl = int(meta["trajectory_length"])
+    splits = {}
+    feat_meta = meta["features"]
+    for split, is_training in (("train", True), ("test", False)):
+        try:
+            ds = load_dataset(src, is_training=is_training, cache=False)
+        except FileNotFoundError:
+            continue
+        jobs = [(split, [ds.trajectory(i)
+                         for i in range(ds.num_trajectories)])]
+        if is_training and ds.num_valid:
+            jobs.append(("valid", [ds.trajectory(i, valid=True)
+                                   for i in range(ds.num_valid)]))
+        for name, trajs in jobs:
+            out = []
+            for tr in trajs:
+                if isinstance(meta["dt"], str):
+                    # TFRecord schema has no per-trajectory time vectors
+                    meta["dt"] = float(np.median(np.diff(tr.times)))
+                feats = {
+                    "mesh_pos": tr.mesh_pos[None],
+                    "node_type": tr.node_type[None, :, None],
+                }
+                if tr.cells is not None:
+                    feats["cells"] = tr.cells[None]
+                for f, arr in tr.fields.items():
+                    feats[f] = arr
+                out.append(feats)
+            splits[name] = out
+    # rewrite feature shapes to the TFRecord schema convention
+    for f, fm in feat_meta.items():
+        dim = int(fm.get("dim", 1))
+        fm["shape"] = ([1, -1, dim] if fm.get("type", "static") == "static"
+                       else [tl, -1, dim])
+        fm.pop("key", None)
+        fm.pop("split", None)
+    write_tfrecord_dataset(dst, meta, splits)
+    print(f"wrote TFRecord dataset to {dst} "
+          f"({ {k: len(v) for k, v in splits.items()} })")
+
+
 def inspect(path: str) -> None:
     for is_training, label in ((True, "train"), (False, "test")):
         try:
@@ -94,6 +140,8 @@ def main(argv=None):
     cmd = argv[0]
     if cmd == "to-h5":
         to_h5(argv[1], argv[2])
+    elif cmd == "to-tfrecord":
+        to_tfrecord(argv[1], argv[2])
     elif cmd == "inspect":
         inspect(argv[1])
     elif cmd == "stats":

@@ -153,3 +153,53 @@ def test_stats_utils(ds_dir):
     ms = data_meanstd(ds_dir)
     assert ms["velocity"]["data_std"] > 0
     assert "target|velocity" in ms
+
+
+def test_tfrecord_writer_roundtrip(ds_dir, tmp_path):
+    """h5 -> to_tfrecord -> load: arrays identical; CRC framing well-formed."""
+    from mgn_tpu.data.convert import to_tfrecord
+    from mgn_tpu.data.tfrecord_writer import masked_crc32c
+    import struct
+
+    dst = str(tmp_path / "tfds")
+    to_tfrecord(ds_dir, dst)
+    assert os.path.isfile(os.path.join(dst, "train.tfrecord"))
+    # CRCs verify (strict-reader compatibility)
+    with open(os.path.join(dst, "train.tfrecord"), "rb") as f:
+        header = f.read(8)
+        (crc_h,) = struct.unpack("<I", f.read(4))
+        assert crc_h == masked_crc32c(header)
+        (length,) = struct.unpack("<Q", header)
+        payload = f.read(length)
+        (crc_p,) = struct.unpack("<I", f.read(4))
+        assert crc_p == masked_crc32c(payload)
+
+    src = load_dataset(ds_dir, is_training=True)
+    out = load_dataset(dst, is_training=True)
+    assert out.num_trajectories == src.num_trajectories
+    assert out.num_valid == src.num_valid
+    a, b = src.trajectory(1), out.trajectory(1)
+    assert np.allclose(a.mesh_pos, b.mesh_pos)
+    assert np.array_equal(a.node_type, b.node_type)
+    for f in a.fields:
+        assert np.allclose(a.fields[f], b.fields[f])
+
+
+def test_tfrecord_end_to_end_train_eval(ds_dir, tmp_path):
+    """The real-data path: DeepMind-schema TFRecord -> train -> eval
+    (round-1 verdict item 5a)."""
+    import optax
+
+    from mgn_tpu import eval_network, train_network
+    from mgn_tpu.data.convert import to_tfrecord
+
+    dst = str(tmp_path / "tfds2")
+    to_tfrecord(ds_dir, dst)
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    kw = dict(mps=1, layer_size=16, hidden_layers=1, norm_steps=2,
+              num_rollouts=1, solver_valid="euler", seed=0)
+    state, best = train_network(0.01, optax.adam(1e-3), dst, cp,
+                                steps=6, checkpoint=4, **kw)
+    assert np.isfinite(best)
+    reports = eval_network(dst, cp, out, solver="euler", mse_steps=(2,), **kw)
+    assert np.isfinite(reports[0]["final_rmse"])

@@ -75,3 +75,29 @@ def test_adaptive_eval(ds_dir, tmp_path):
     reports = eval_network(ds_dir, cp, out, solver="tsit5_adaptive",
                            mse_steps=(3,), **SMALL)
     assert np.isfinite(reports[0]["final_rmse"])
+
+
+def test_spatial_reorder_invariance(ds_dir, tmp_path):
+    """spatial_reorder=True (fused-kernel-capable templates) must produce the
+    same training result and identically ordered exports as the default."""
+    import jax.numpy as jnp
+
+    cp1, cp2 = str(tmp_path / "a"), str(tmp_path / "b")
+    out1, out2 = str(tmp_path / "oa"), str(tmp_path / "ob")
+    kw = dict(steps=10, checkpoint=5, **SMALL)
+    train_network(0.0, optax.adam(1e-3), ds_dir, cp1, **kw)
+    train_network(0.0, optax.adam(1e-3), ds_dir, cp2, spatial_reorder=True,
+                  **kw)
+    r1 = eval_network(ds_dir, cp1, out1, solver="euler", **SMALL)
+    r2 = eval_network(ds_dir, cp2, out2, solver="euler",
+                      spatial_reorder=True, **SMALL)
+    # noise-free training on permuted graphs is numerically equivalent up to
+    # reduction order; exports must come back in dataset node order
+    import h5py
+
+    with h5py.File(os.path.join(out1, "euler", "trajectories.h5")) as f1, \
+            h5py.File(os.path.join(out2, "euler", "trajectories.h5")) as f2:
+        gt1 = np.asarray(f1["0"]["gt"])
+        gt2 = np.asarray(f2["0"]["gt"])
+    np.testing.assert_allclose(gt1, gt2, rtol=1e-6)
+    assert abs(r1[0]["final_rmse"] - r2[0]["final_rmse"]) < 2e-2
