@@ -50,6 +50,7 @@ def build_model_config(meta: Dict[str, Any], args: Args) -> Tuple[MGNConfig, Fie
         aggregation_backend=args.aggregation_backend,
         unroll=args.unroll,
         fused=args.fused,
+        fused_backward=args.fused_backward,
     )
     return cfg, spec
 

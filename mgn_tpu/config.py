@@ -69,6 +69,7 @@ class Args:
     # per-node outputs are un-permuted before export
     spatial_reorder: bool = False
     fused: bool = False  # route the processor through the fused round kernel
+    fused_backward: bool = False  # native reverse-round backward kernel
     node_bucket_multiple: int = 128
     edge_bucket_multiple: int = 512  # 512-edge chunks for the fused kernel
     data_axis: str = "data"  # device-mesh axis for trajectory batching

@@ -57,6 +57,9 @@ class MGNConfig:
     # (ops/fused.py) when the graph carries a banding plan; the biggest
     # single-chip perf lever (docs/performance.md "Round-2 kernel plan")
     fused: bool = False
+    # use the native reverse-round backward kernel (forward saves per-round
+    # residuals); otherwise backward recomputes the rounds with plain XLA ops
+    fused_backward: bool = False
 
 
 def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
@@ -112,7 +115,8 @@ def apply_mgn(
         interpret = jax.default_backend() != "tpu"
         v = fused_process(params["processor"], v, e, fused_plan,
                           graph.senders, graph.receivers, edge_valid,
-                          cfg.message_passing_steps, interpret=interpret)
+                          cfg.message_passing_steps, interpret=interpret,
+                          kernel_bwd=cfg.fused_backward)
         return apply_mlp(params["decoder"], v, dt).astype(jnp.float32)
 
     if cfg.gather_backend == "banded":

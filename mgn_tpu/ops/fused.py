@@ -130,55 +130,120 @@ def _mlp_slot_counts(proc: Dict[str, Any]) -> Tuple[int, int]:
     return len(proc["edge_mlp"]["w"]), len(proc["node_mlp"]["w"])
 
 
-# --- the kernel --------------------------------------------------------------
+# --- the kernels -------------------------------------------------------------
+
+def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype):
+    """First layer computed from parts (no concat); then hidden+out+LN.
+
+    Returns (out, cache) where cache holds the pre-activation intermediates
+    needed by the hand-written backward (the bwd kernel recomputes forward
+    and consumes this cache)."""
+    f32 = jnp.float32
+    acc = None
+    off = 0
+    w0 = ws[0]
+    for p, d in zip(h_parts, w0_splits):
+        acc_p = jax.lax.dot_general(
+            p, w0[off:off + d, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        acc = acc_p if acc is None else acc + acc_p
+        off += d
+    h = acc.astype(cdtype) + bs[0]
+    pre = [h]  # pre-relu activations per layer boundary
+    post = []  # post-relu (inputs to the next matmul)
+    for i in range(1, len(ws)):
+        hr = jnp.maximum(h, 0)
+        post.append(hr)
+        h = jax.lax.dot_general(
+            hr, ws[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(cdtype) + bs[i]
+        pre.append(h)
+    h32 = h.astype(f32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (h32 - mean) * rstd
+    out = (xhat * ln_scale + ln_bias).astype(cdtype)
+    return out, (pre, post, xhat, rstd)
+
+
+def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
+    """Backward of :func:`_mlp_fwd`.
+
+    Returns (dparts, dws, dbs, dln_scale, dln_bias); dws/dbs are f32,
+    dparts are ``cdtype`` (matching JAX's cotangent dtype semantics)."""
+    f32 = jnp.float32
+    pre, post, xhat, rstd = cache
+    dy = dout.astype(f32)
+    dgamma = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * ln_scale.astype(f32)
+    dh = (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+          - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)) * rstd
+    dh = dh.astype(cdtype)
+    dws = [None] * len(ws)
+    dbs = [None] * len(ws)
+    for i in range(len(ws) - 1, 0, -1):
+        dbs[i] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
+        dws[i] = jax.lax.dot_general(  # postᵀ @ dh
+            post[i - 1], dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dhr = jax.lax.dot_general(  # dh @ wᵀ
+            dh, ws[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(cdtype)
+        dh = dhr * (pre[i - 1] > 0).astype(cdtype)
+    dbs[0] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
+    dh32 = dh
+    dw0_rows = []
+    dparts = []
+    off = 0
+    w0 = ws[0]
+    for p, d in zip(h_parts, w0_splits):
+        dw0_rows.append(jax.lax.dot_general(  # pᵀ @ dh
+            p, dh32, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dparts.append(jax.lax.dot_general(  # dh @ w0_sliceᵀ
+            dh32, w0[off:off + d, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(cdtype))
+        off += d
+    dw0 = jnp.concatenate(dw0_rows, axis=0)
+    return dparts, [dw0] + dws[1:], dbs, dgamma, dbeta
+
+
+def _unpack_weight_refs(refs, n_layers_e, n_layers_n):
+    i = 0
+    ew = [refs[i + k][0] for k in range(n_layers_e)]
+    i += n_layers_e
+    eb = [refs[i + k][0] for k in range(n_layers_e)]
+    i += n_layers_e
+    eln_s, eln_b = refs[i][0], refs[i + 1][0]
+    i += 2
+    nw = [refs[i + k][0] for k in range(n_layers_n)]
+    i += n_layers_n
+    nb = [refs[i + k][0] for k in range(n_layers_n)]
+    i += n_layers_n
+    nln_s, nln_b = refs[i][0], refs[i + 1][0]
+    return ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b
+
 
 def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
-                 cdtype):
+                 cdtype, save_residuals: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
-
-    def mlp(h_parts, ws, bs, ln_scale, ln_bias, w0_splits):
-        """First layer computed from parts (no concat); then hidden+out+LN."""
-        acc = None
-        off = 0
-        w0 = ws[0]
-        for p, d in zip(h_parts, w0_splits):
-            acc_p = jax.lax.dot_general(
-                p, w0[off:off + d, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            acc = acc_p if acc is None else acc + acc_p
-            off += d
-        h = acc.astype(cdtype) + bs[0]
-        for i in range(1, len(ws)):
-            h = jnp.maximum(h, 0)
-            h = jax.lax.dot_general(
-                h, ws[i], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype) + bs[i]
-        h32 = h.astype(f32)
-        mean = jnp.mean(h32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
-        h32 = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
-        return (h32 * ln_scale + ln_bias).astype(cdtype)
+    n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
 
     def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
-        weight_refs = refs[: n_layers_e * 2 + 2 + n_layers_n * 2 + 2]
-        vout_ref = refs[-4]
-        v_ref, e_ref, agg_ref = refs[-3:]
+        weight_refs = refs[:n_weights]
+        refs = refs[n_weights:]
+        if save_residuals:
+            (vout_ref, vsave_ref, esave_ref, aggsave_ref,
+             v_ref, e_ref, agg_ref) = refs
+        else:
+            vout_ref, v_ref, e_ref, agg_ref = refs
 
-        i = 0
-        ew = [weight_refs[i + k][0] for k in range(n_layers_e)]
-        i += n_layers_e
-        eb = [weight_refs[i + k][0] for k in range(n_layers_e)]
-        i += n_layers_e
-        eln_s, eln_b = weight_refs[i][0], weight_refs[i + 1][0]
-        i += 2
-        nw = [weight_refs[i + k][0] for k in range(n_layers_n)]
-        i += n_layers_n
-        nb = [weight_refs[i + k][0] for k in range(n_layers_n)]
-        i += n_layers_n
-        nln_s, nln_b = weight_refs[i][0], weight_refs[i + 1][0]
+        (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
+            weight_refs, n_layers_e, n_layers_n)
 
         r = pl.program_id(0)
 
@@ -186,6 +251,10 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         def _():
             v_ref[:] = v0_ref[:]
             e_ref[:] = e0_ref[:]
+
+        if save_residuals:  # start-of-round state for the backward kernel
+            vsave_ref[0] = v_ref[:]
+            esave_ref[0] = e_ref[:]
 
         agg_ref[:] = jnp.zeros((n, latent), f32)
 
@@ -209,8 +278,8 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             vr = jax.lax.dot_general(
                 oh_r, v_band_r, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32).astype(cdtype)
-            msg = mlp((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                      (latent, latent, latent))
+            msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                              (latent, latent, latent), cdtype)
             e_ref[pl.ds(base, chunk), :] = e_c + msg
             contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
                 oh_r, msg, (((1,), (0,)), ((), ())),
@@ -220,10 +289,14 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         jax.lax.fori_loop(0, chunks, edge_chunk, 0, unroll=True)
 
+        if save_residuals:
+            aggsave_ref[0] = agg_ref[:].astype(cdtype)
+
         # node stage: no gather — whole-array MXU matmuls over (N, L)
         v_all = v_ref[:]
         agg_all = agg_ref[:].astype(cdtype)
-        upd = mlp((v_all, agg_all), nw, nb, nln_s, nln_b, (latent, latent))
+        upd, _ = _mlp_fwd((v_all, agg_all), nw, nb, nln_s, nln_b,
+                          (latent, latent), cdtype)
         v_ref[:] = v_all + upd
 
         @pl.when(r == mps - 1)
@@ -233,47 +306,226 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     return kernel
 
 
+def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
+                     chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
+                     cdtype):
+    """Reverse-round backward: grid step g processes round mps-1-g.
+
+    Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
+    MLP intermediates on the fly (memory-efficient discrete adjoint).
+    Cotangent carries (dv, de) live in VMEM scratch in ``cdtype`` (JAX's
+    cotangent dtype for a ``cdtype`` primal); weight grads are f32.
+    """
+    chunks = e // chunk
+    f32 = jnp.float32
+    n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
+
+    def kernel(starts_s_ref, starts_r_ref,
+               rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
+               aggsave_ref, *refs):
+        weight_refs = refs[:n_weights]
+        grad_refs = refs[n_weights:n_weights * 2]
+        dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
+        dv_ref, de_ref, dagg_ref = refs[n_weights * 2 + 2:]
+
+        (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
+            weight_refs, n_layers_e, n_layers_n)
+
+        gidx = pl.program_id(0)
+
+        @pl.when(gidx == 0)
+        def _():
+            dv_ref[:] = g_ref[:].astype(cdtype)
+            de_ref[:] = jnp.zeros((e, latent), cdtype)
+
+        v = vsave_ref[0]  # start-of-round latents
+        agg = aggsave_ref[0]
+
+        # ---- node stage backward (whole-array) ------------------------------
+        upd, cache_n = _mlp_fwd((v, agg), nw, nb, nln_s, nln_b,
+                                (latent, latent), cdtype)
+        dupd = dv_ref[:]  # v' = v + upd  =>  d upd = dv'
+        (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
+            dupd, cache_n, (v, agg), nw, nln_s, (latent, latent), cdtype)
+        dv_ref[:] = dv_ref[:] + dv_p
+        dagg_ref[:] = dagg_p.astype(f32)
+        # node weight grads for this round
+        i = n_layers_e * 2 + 2
+        for k in range(n_layers_n):
+            grad_refs[i + k][0] = dnw[k]
+        for k in range(n_layers_n):
+            grad_refs[i + n_layers_n + k][0] = dnb[k]
+        grad_refs[i + 2 * n_layers_n][0] = dgn
+        grad_refs[i + 2 * n_layers_n + 1][0] = dbn
+
+        # ---- edge stage backward (per chunk, recompute + adjoint) -----------
+        def zeros_like_ref(ref):
+            ref[0] = jnp.zeros(ref.shape[1:], f32)
+
+        for k in range(n_layers_e * 2 + 2):
+            zeros_like_ref(grad_refs[k])
+
+        def edge_chunk_bwd(c, _):
+            ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
+            sr = pl.multiple_of(starts_r_ref[c], _ALIGN)
+            rel_s = rel_s_ref[c]
+            rel_r = rel_r_ref[c]
+            base = pl.multiple_of(c * chunk, chunk)
+            e_c = esave_ref[0, pl.ds(base, chunk), :]
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
+                    == rel_s[None, :]).astype(cdtype)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
+                    == rel_r[None, :]).astype(cdtype)
+            vs = jax.lax.dot_general(
+                oh_s, vsave_ref[0, pl.ds(ss, band_s), :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            vr = jax.lax.dot_general(
+                oh_r, vsave_ref[0, pl.ds(sr, band_r), :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                  (latent, latent, latent), cdtype)
+            # dmsg = de' (residual) + gather of dagg (scatter-add adjoint)
+            de_c = de_ref[pl.ds(base, chunk), :]
+            dmsg = de_c + jax.lax.dot_general(
+                oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
+                dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
+                (latent, latent, latent), cdtype)
+            de_ref[pl.ds(base, chunk), :] = de_c + de_p
+            # gather adjoints: scatter dvs/dvr back into the dv bands
+            dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                oh_s, dvs, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                oh_r, dvr, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            for k in range(n_layers_e):
+                grad_refs[k][0] += dew[k]
+                grad_refs[n_layers_e + k][0] += deb[k]
+            grad_refs[2 * n_layers_e][0] += dge
+            grad_refs[2 * n_layers_e + 1][0] += dbe
+            return 0
+
+        jax.lax.fori_loop(0, chunks, edge_chunk_bwd, 0, unroll=True)
+
+        @pl.when(gidx == mps - 1)
+        def _():
+            dv0_ref[:] = dv_ref[:]
+            de0_ref[:] = de_ref[:]
+
+    return kernel
+
+
+def _full_spec(shape, rev_round=None):
+    return pl.BlockSpec(shape, lambda g, *_: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _per_round_spec(shape_rest, mps, reverse=False):
+    shape = (1,) + tuple(shape_rest)
+    nd = len(shape_rest)
+    if reverse:
+        return pl.BlockSpec(shape, lambda g, *_: (mps - 1 - g,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, lambda g, *_: (g,) + (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
 def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
-                    n_layers_e: int, n_layers_n: int, interpret: bool):
+                    n_layers_e: int, n_layers_n: int, interpret: bool,
+                    save_residuals: bool = False):
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
     kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
-                          n_layers_e, n_layers_n, mps, cdtype)
+                          n_layers_e, n_layers_n, mps, cdtype,
+                          save_residuals=save_residuals)
 
-    def full(arr):  # same full block every round
-        shape = arr.shape
-        return pl.BlockSpec(shape, lambda r, *_: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+    in_specs = [_full_spec(v0.shape), _full_spec(e0.shape),
+                _full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape)]
+    in_specs += [_per_round_spec(w.shape[1:], mps) for w in proc_leaves]
 
-    def per_round(arr):  # (mps, ...) — round r's slice
-        shape = (1,) + arr.shape[1:]
-        ndim_rest = len(arr.shape) - 1
-        return pl.BlockSpec(shape, lambda r, *_: (r,) + (0,) * ndim_rest,
-                            memory_space=pltpu.VMEM)
-
-    in_specs = [full(v0), full(e0), full(plan.rel_s), full(plan.rel_r)]
-    in_specs += [per_round(w) for w in proc_leaves]
+    out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
+    out_specs = [_full_spec((n, latent))]
+    if save_residuals:
+        out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
+                      jax.ShapeDtypeStruct((mps, e, latent), cdtype),
+                      jax.ShapeDtypeStruct((mps, n, latent), cdtype)]
+        out_specs += [_per_round_spec((n, latent), mps),
+                      _per_round_spec((e, latent), mps),
+                      _per_round_spec((n, latent), mps)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(mps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(v0.shape, lambda r, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((n, latent), cdtype),
             pltpu.VMEM((e, latent), cdtype),
             pltpu.VMEM((n, latent), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, latent), cdtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
       *proc_leaves)
+    return out if save_residuals else out[0]
+
+
+def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
+                     g, mps: int, n_layers_e: int, n_layers_n: int,
+                     interpret: bool):
+    """Returns (leaf_grads list, dv0, de0)."""
+    _, n, latent = vsave.shape
+    e = esave.shape[1]
+    cdtype = vsave.dtype
+    kernel = _make_bwd_kernel(n, e, latent, plan.band_s, plan.band_r,
+                              plan.chunk, n_layers_e, n_layers_n, mps, cdtype)
+
+    in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
+                _full_spec((n, latent)),
+                _per_round_spec((n, latent), mps, reverse=True),
+                _per_round_spec((e, latent), mps, reverse=True),
+                _per_round_spec((n, latent), mps, reverse=True)]
+    in_specs += [_per_round_spec(w.shape[1:], mps, reverse=True)
+                 for w in proc_leaves]
+
+    out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                 for w in proc_leaves]
+    out_specs = [_per_round_spec(w.shape[1:], mps, reverse=True)
+                 for w in proc_leaves]
+    out_shape += [jax.ShapeDtypeStruct((n, latent), cdtype),
+                  jax.ShapeDtypeStruct((e, latent), cdtype)]
+    out_specs += [_full_spec((n, latent)), _full_spec((e, latent))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(mps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n, latent), cdtype),  # dv carry
+            pltpu.VMEM((e, latent), cdtype),  # de carry
+            pltpu.VMEM((n, latent), jnp.float32),  # dagg
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(plan.starts_s, plan.starts_r, plan.rel_s, plan.rel_r, g,
+      vsave, esave, aggsave, *proc_leaves)
+    n_leaves = len(proc_leaves)
+    return list(out[:n_leaves]), out[n_leaves], out[n_leaves + 1]
 
 
 def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
@@ -299,10 +551,32 @@ def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
     return v
 
 
+def _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n):
+    """Inverse of _flatten_proc for the gradient leaves (f32)."""
+    out = {}
+    i = 0
+    for mlp, n_layers in (("edge_mlp", n_layers_e), ("node_mlp", n_layers_n)):
+        ws = list(leaf_grads[i:i + n_layers])
+        i += n_layers
+        bs = [b.reshape(b.shape[0], -1) for b in leaf_grads[i:i + n_layers]]
+        i += n_layers
+        ln_s = leaf_grads[i].reshape(leaf_grads[i].shape[0], -1)
+        ln_b = leaf_grads[i + 1].reshape(leaf_grads[i + 1].shape[0], -1)
+        i += 2
+        out[mlp] = {"w": ws, "b": bs, "ln_scale": ln_s, "ln_bias": ln_b}
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
-                interpret: bool):
-    """Cached custom_vjp wrapper per static configuration."""
+                interpret: bool, kernel_bwd: bool):
+    """Cached custom_vjp wrapper per static configuration.
+
+    ``kernel_bwd=False``: backward recomputes the rounds with plain XLA ops
+    (exact, but ~3 XLA passes).  ``kernel_bwd=True``: backward is the native
+    reverse-round Pallas kernel consuming per-round residuals the forward
+    saves — the training-speed path.
+    """
 
     def _primal(proc_params, v0, e0, plan, senders, receivers, edge_valid):
         leaves = _flatten_proc(proc_params)
@@ -314,35 +588,55 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
         return _primal(proc_params, v0, e0, plan, senders, receivers,
                        edge_valid)
 
-    def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
-        out = _primal(proc_params, v0, e0, plan, senders, receivers,
-                      edge_valid)
-        return out, (proc_params, v0, e0, senders, receivers, edge_valid)
+    if kernel_bwd:
+        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+            leaves = _flatten_proc(proc_params)
+            out, vsave, esave, aggsave = _pallas_forward(
+                leaves, v0, e0, plan, mps, n_layers_e, n_layers_n, interpret,
+                save_residuals=True)
+            return out, (proc_params, plan, vsave, esave, aggsave)
 
-    def bwd(res, g):
-        proc_params, v0, e0, senders, receivers, edge_valid = res
-        n_pad = v0.shape[0]
+        def bwd(res, g):
+            proc_params, plan, vsave, esave, aggsave = res
+            leaves = _flatten_proc(proc_params)
+            leaf_grads, dv, de = _pallas_backward(
+                leaves, plan, vsave, esave, aggsave, g, mps,
+                n_layers_e, n_layers_n, interpret)
+            dp = _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n)
+            return dp, dv, de, None, None, None, None
+    else:
+        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+            out = _primal(proc_params, v0, e0, plan, senders, receivers,
+                          edge_valid)
+            return out, (proc_params, v0, e0, senders, receivers, edge_valid)
 
-        def recompute(p, v, e):
-            return process_rounds_xla(p, v, e, senders, receivers, edge_valid,
-                                      mps, v0.dtype, n_pad)
+        def bwd(res, g):
+            proc_params, v0, e0, senders, receivers, edge_valid = res
+            n_pad = v0.shape[0]
 
-        _, vjp = jax.vjp(recompute, proc_params, v0, e0)
-        dp, dv, de = vjp(g)
-        return dp, dv, de, None, None, None, None
+            def recompute(p, v, e):
+                return process_rounds_xla(p, v, e, senders, receivers,
+                                          edge_valid, mps, v0.dtype, n_pad)
+
+            _, vjp = jax.vjp(recompute, proc_params, v0, e0)
+            dp, dv, de = vjp(g)
+            return dp, dv, de, None, None, None, None
 
     fused.defvjp(fwd, bwd)
     return fused
 
 
 def fused_process(proc_params, v0, e0, plan: FusedPlan, senders, receivers,
-                  edge_valid, mps: int, interpret: bool = False):
+                  edge_valid, mps: int, interpret: bool = False,
+                  kernel_bwd: bool = False):
     """Run ``mps`` processor rounds through the fused kernel.
 
     ``proc_params`` is the stacked processor pytree (models/mgn.init_mgn);
     ``senders``/``receivers``/``edge_valid`` are only consumed by the exact
-    XLA backward recompute.  Gradients flow to params, v0 and e0.
+    XLA backward recompute (``kernel_bwd=False``).  Gradients flow to params,
+    v0 and e0 either way.
     """
     n_layers_e, n_layers_n = _mlp_slot_counts(proc_params)
-    fn = _make_fused(int(mps), n_layers_e, n_layers_n, bool(interpret))
+    fn = _make_fused(int(mps), n_layers_e, n_layers_n, bool(interpret),
+                     bool(kernel_bwd))
     return fn(proc_params, v0, e0, plan, senders, receivers, edge_valid)

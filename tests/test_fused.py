@@ -95,3 +95,31 @@ def test_apply_mgn_fused_end_to_end():
     out = apply_mgn(params, g, cfg_fused, fused_plan=t.fused_plan)
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref)[:n],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_kernel_backward_matches_xla():
+    """The native reverse-round backward kernel's gradients match the XLA
+    recompute path (the recompute path is itself tested against plain AD)."""
+    rng = np.random.default_rng(3)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(0), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def loss(p, v, e_, kernel_bwd):
+        out = fused_process(p, v, e_, plan, sj, rj, ev, mps,
+                            interpret=True, kernel_bwd=kernel_bwd)
+        return jnp.sum(out ** 2) + jnp.sum(out[:, 0])
+
+    gk = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(proc, v0, e0)
+    gr = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(proc, v0, e0)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
