@@ -110,7 +110,7 @@ def train_network(
     cp_path; kws...)`` (/root/reference/src/MeshGraphNets.jl:252) — ``kwargs``
     populate :class:`mgn_tpu.config.Args`.
     """
-    args = Args(**kwargs)
+    args = Args(**kwargs).resolve_auto()
     log = metrics or MetricsLogger(quiet=True, wandb_logger=args.wandb_logger)
     noise = (tuple(noise_stddevs) if isinstance(noise_stddevs, (tuple, list))
              else (float(noise_stddevs),))
@@ -405,7 +405,7 @@ def eval_network(
     Parity with the reference ``eval_network`` (/root/reference/src/MeshGraphNets.jl:507-548)
     + ``eval_network!`` (:568-672).  Returns the per-trajectory reports.
     """
-    args = Args(**kwargs)
+    args = Args(**kwargs).resolve_auto()
     log = metrics or MetricsLogger(quiet=True, wandb_logger=args.wandb_logger)
     dataset = load_dataset(ds_path, is_training=False)
     meta = dataset.meta

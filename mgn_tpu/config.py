@@ -66,10 +66,13 @@ class Args:
     unroll: bool = False  # unroll processor rounds (faster on TPU, bigger HLO)
     # permute nodes into spatial sweep order at prep time: narrow index bands
     # enable the fused round kernel (ops/fused.py) and banded gathers;
-    # per-node outputs are un-permuted before export
-    spatial_reorder: bool = False
-    fused: bool = False  # route the processor through the fused round kernel
-    fused_backward: bool = False  # native reverse-round backward kernel
+    # per-node outputs are un-permuted before export.
+    # None = auto: on for TPU backends, off elsewhere (same for the two
+    # fused knobs; fused_backward additionally requires bfloat16 — the f32
+    # residual-saving forward exceeds VMEM at production sizes)
+    spatial_reorder: Optional[bool] = None
+    fused: Optional[bool] = None  # fused round kernel for the processor
+    fused_backward: Optional[bool] = None  # native reverse-round backward
     node_bucket_multiple: int = 128
     edge_bucket_multiple: int = 512  # 512-edge chunks for the fused kernel
     data_axis: str = "data"  # device-mesh axis for trajectory batching
@@ -87,3 +90,20 @@ class Args:
     def model_dims(self) -> dict:
         return dict(latent_size=self.layer_size, hidden_layers=self.hidden_layers,
                     message_passing_steps=self.mps)
+
+    def resolve_auto(self) -> "Args":
+        """Resolve the None (=auto) TPU-path knobs against the live backend."""
+        import dataclasses as _dc
+
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        return _dc.replace(
+            self,
+            spatial_reorder=(on_tpu if self.spatial_reorder is None
+                             else self.spatial_reorder),
+            fused=on_tpu if self.fused is None else self.fused,
+            fused_backward=(
+                (on_tpu and self.compute_dtype == "bfloat16")
+                if self.fused_backward is None else self.fused_backward),
+        )

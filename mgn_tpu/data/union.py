@@ -67,6 +67,14 @@ def union_prepared(preps: Sequence[PreparedTrajectory]) -> tuple:
         [preps[0].template.row_offsets[:1]]
         + [p.template.row_offsets[1:] + i * e for i, p in enumerate(preps)])
 
+    # fused-kernel banding plan for the union graph: per-graph edge buckets
+    # are 512-multiples, so chunks never straddle subgraph seams and the
+    # union's bands equal the single-graph bands
+    from mgn_tpu.ops.fused import build_fused_plan
+
+    fused_plan = build_fused_plan(np.asarray(senders), np.asarray(receivers),
+                                  b * n)
+
     template = GraphTemplate(
         node_type_onehot=cat(lambda t: t.node_type_onehot),
         mesh_edge_features=cat(lambda t: t.mesh_edge_features),
@@ -76,6 +84,7 @@ def union_prepared(preps: Sequence[PreparedTrajectory]) -> tuple:
         node_mask=cat(lambda t: t.node_mask),
         edge_mask=cat(lambda t: t.edge_mask),
         node_type=cat(lambda t: t.node_type),
+        fused_plan=fused_plan,
     )
     fields = {
         f: jnp.concatenate([p.fields[f] for p in preps], axis=1)

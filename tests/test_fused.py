@@ -123,3 +123,48 @@ def test_fused_kernel_backward_matches_xla():
     for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_union_batched_fused():
+    """Disjoint-union batching carries a fused plan whose bands equal the
+    single-graph bands (512-multiple buckets keep chunks within subgraphs);
+    the fused union forward matches per-graph fused forwards."""
+    from mgn_tpu.core.graph import build_template
+    from mgn_tpu.core.graph import MeshGraph
+    from mgn_tpu.data.prep import PreparedTrajectory
+    from mgn_tpu.data.union import union_prepared
+
+    rng = np.random.default_rng(5)
+    n = 100
+    mesh_pos = np.stack([np.linspace(0, 1, n), np.zeros(n)], 1).astype(np.float32)
+    cells = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    t = build_template(mesh_pos, np.zeros(n, np.int32), edges=cells)
+    fields = {"velocity": jnp.asarray(
+        rng.normal(size=(3, t.num_nodes, 2)), jnp.float32)}
+    times = jnp.arange(3, dtype=jnp.float32)
+    preps = [PreparedTrajectory(t, fields, times, n, 3) for _ in range(2)]
+    tu, fu, _, info = union_prepared(preps)
+    assert tu.fused_plan is not None
+    assert tu.fused_plan.band_s == t.fused_plan.band_s
+
+    cfg = MGNConfig(node_input_dim=7, edge_input_dim=3, output_dim=2,
+                    latent_size=32, hidden_layers=2, message_passing_steps=2,
+                    fused=True)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    nf_single = jnp.asarray(rng.normal(size=(t.num_nodes, 7)), jnp.float32)
+    nf_union = jnp.concatenate([nf_single, nf_single], 0)
+
+    def fwd(template, nf):
+        g = MeshGraph(node_features=nf,
+                      edge_features=template.mesh_edge_features,
+                      senders=template.senders, receivers=template.receivers,
+                      node_mask=template.node_mask,
+                      edge_mask=template.edge_mask)
+        return apply_mgn(params, g, cfg, fused_plan=template.fused_plan)
+
+    single = np.asarray(fwd(t, nf_single))
+    union = np.asarray(fwd(tu, nf_union))
+    np.testing.assert_allclose(union[:t.num_nodes][:n], single[:n],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(union[t.num_nodes:][:n], single[:n],
+                               rtol=2e-5, atol=2e-5)
