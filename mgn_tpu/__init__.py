@@ -13,7 +13,7 @@ Public API parity with the reference's exports
 ``SolverTraining``, ``MultipleShooting`` — plus the TPU-native extensions.
 """
 
-from mgn_tpu.api import eval_network, train_network
+from mgn_tpu.api import eval_network, simulate, train_network
 from mgn_tpu.config import Args
 from mgn_tpu.train.strategies import (DerivativeTraining, MultipleShooting,
                                       SolverTraining)
@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 __all__ = [
     "train_network",
     "eval_network",
+    "simulate",
     "der_minmax",
     "data_meanstd",
     "DerivativeTraining",

@@ -33,7 +33,8 @@ from mgn_tpu.train.strategies import (DerivativeTraining, MultipleShooting,
                                       SolverTraining, get_delta)
 from mgn_tpu.utils.metrics import MetricsLogger
 
-__all__ = ["train_network", "eval_network", "build_model_config", "init_state"]
+__all__ = ["train_network", "eval_network", "simulate", "build_model_config",
+           "init_state"]
 
 
 def build_model_config(meta: Dict[str, Any], args: Args) -> Tuple[MGNConfig, FieldSpec]:
@@ -482,3 +483,59 @@ def eval_network(
     path = export_rollouts_h5(out_path, solver_name, exports)
     log.log("export", path=path)
     return reports
+
+
+def simulate(
+    meta_dir: str,
+    cp_path: str,
+    mesh_pos: np.ndarray,
+    node_type: np.ndarray,
+    initial_fields: Dict[str, np.ndarray],  # each (N, dim) — one frame
+    times: np.ndarray,  # save grid, times[0] = initial time
+    cells: Optional[np.ndarray] = None,
+    edges: Optional[np.ndarray] = None,
+    solver: str = "euler",
+    **kwargs: Any,
+) -> np.ndarray:
+    """Pure autoregressive simulation from a single initial frame (serving).
+
+    Unlike :func:`eval_network` (which follows the reference's evaluation
+    semantics — ground-truth inflow forcing against a test dataset,
+    /root/reference/src/MeshGraphNets.jl:568-672), ``simulate`` needs no
+    dataset: only the trained checkpoint, the mesh, and one frame of every
+    dynamic field.  Inflow nodes evolve by the network like all updated
+    nodes.  Returns predictions ``(len(times), N, output_dim)`` in the
+    caller's node order.
+    """
+    from mgn_tpu.data.meta import load_meta
+    from mgn_tpu.data.pipeline import Trajectory
+
+    args = Args(**kwargs).resolve_auto()
+    meta = load_meta(meta_dir)
+    state, model_cfg, spec = init_state(meta, args, optax.sgd(1.0))
+    ckpt = CheckpointManager(cp_path)
+    model = ckpt.restore_model(CheckpointManager.model_subtree(state),
+                               best=args.use_valid and
+                               ckpt.latest_step(best=True) is not None)
+    if model is None:
+        raise FileNotFoundError(f"no checkpoint found under {cp_path}")
+    params, norm = model["params"], model["norm"]
+
+    traj = Trajectory(
+        mesh_pos=np.asarray(mesh_pos, np.float32),
+        node_type=np.asarray(node_type, np.int32).reshape(-1),
+        times=np.asarray(times[:1], np.float32),
+        fields={f: np.asarray(v, np.float32)[None] for f, v in
+                initial_fields.items()},
+        cells=None if cells is None else np.asarray(cells, np.int32),
+        edges=None if edges is None else np.asarray(edges, np.int32),
+    )
+    prep = prepare_trajectory(traj, meta, spec,
+                              spatial_reorder=args.spatial_reorder)
+    rollout_fn = jax.jit(make_rollout_fn(
+        model_cfg, spec, solver=solver,
+        types_updated=args.types_updated, types_inflow=args.types_inflow,
+        rtol=args.rtol, atol=args.atol, forced=False))
+    pred = rollout_fn(params, norm, prep.template, prep.fields,
+                      jnp.asarray(times, jnp.float32), prep.times)
+    return prep.unpermute(np.asarray(pred))

@@ -50,7 +50,8 @@ def make_deriv_fn(
     if forcing_times is not None:
         # tolerance so t exactly on a frame time selects that frame despite
         # float roundoff (scaled to the smallest save interval)
-        eps = 1e-4 * jnp.min(jnp.diff(forcing_times))
+        eps = (1e-4 * jnp.min(jnp.diff(forcing_times))
+               if forcing_times.shape[0] > 1 else jnp.float32(0.0))
 
     def frame_of(t: jax.Array) -> jax.Array:
         return jnp.clip(

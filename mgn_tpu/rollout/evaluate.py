@@ -47,12 +47,18 @@ def make_rollout_fn(
     types_inflow: Tuple[int, ...] = (1,),
     rtol: float = 1e-4,
     atol: float = 1e-6,
+    forced: bool = True,
 ) -> Callable:
     """Build a jittable ``rollout(params, norm, template, fields, times) -> pred``.
 
     ``pred`` has shape (T, N_pad, output_dim), ``pred[0]`` is the initial
     state.  ``solver`` is a FIXED_METHODS name or ``'tsit5_adaptive'``.
     Equivalent of the reference ``rollout`` (/root/reference/src/solve.jl:42-68).
+
+    ``forced=False`` disables the inflow ground-truth forcing — a pure
+    autoregressive simulation from the initial frame alone, for serving /
+    deployment where no ground truth exists (``fields`` may then hold a
+    single frame, T=1).
     """
 
     from mgn_tpu.rollout.integrators import FIXED_METHODS
@@ -77,7 +83,8 @@ def make_rollout_fn(
         inflow_mask = type_mask(template.node_type, types_inflow) & node_mask
         gt = jnp.concatenate([fields[f] for f in spec.target_fields], axis=-1)
         ftimes = times if forcing_times is None else forcing_times
-        eps = 1e-4 * jnp.min(jnp.diff(ftimes))
+        eps = (1e-4 * jnp.min(jnp.diff(ftimes)) if ftimes.shape[0] > 1
+               else jnp.float32(0.0))
         i0 = jnp.clip(
             jnp.searchsorted(ftimes, times[0] + eps, side="right") - 1,
             0, ftimes.shape[0] - 1).astype(jnp.int32)
@@ -87,7 +94,8 @@ def make_rollout_fn(
             for f in spec.fields if f not in spec.target_fields}
         deriv = make_deriv_fn(
             params, model_cfg, norm, template, spec, non_target,
-            val_mask, inflow_mask=inflow_mask, forcing_data=gt,
+            val_mask, inflow_mask=inflow_mask,
+            forcing_data=gt if forced else None,
             forcing_times=ftimes,
         )
         if solver == "tsit5_adaptive":

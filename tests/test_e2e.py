@@ -101,3 +101,25 @@ def test_spatial_reorder_invariance(ds_dir, tmp_path):
         gt2 = np.asarray(f2["0"]["gt"])
     np.testing.assert_allclose(gt1, gt2, rtol=1e-6)
     assert abs(r1[0]["final_rmse"] - r2[0]["final_rmse"]) < 2e-2
+
+
+def test_simulate_serving_api(ds_dir, tmp_path):
+    """simulate(): pure autoregressive rollout from one frame, no dataset
+    and no ground-truth forcing (serving entry point)."""
+    from mgn_tpu import simulate
+    from mgn_tpu.data.pipeline import load_dataset
+
+    cp = str(tmp_path / "cp_sim")
+    train_network(0.0, optax.adam(1e-3), ds_dir, cp, steps=10, checkpoint=5,
+                  **SMALL)
+    ds = load_dataset(ds_dir, is_training=False)
+    tr = ds.trajectory(0)
+    times = tr.times[:6]
+    pred = simulate(ds_dir, cp, tr.mesh_pos, tr.node_type,
+                    {f: tr.fields[f][0] for f in tr.fields}, times,
+                    cells=tr.cells, **SMALL)
+    assert pred.shape == (6, tr.num_nodes, 2)
+    assert np.isfinite(pred).all()
+    # initial state is the provided frame
+    gt0 = np.concatenate([tr.fields[f][0] for f in ("velocity",)], -1)
+    np.testing.assert_allclose(pred[0], gt0, rtol=1e-5, atol=1e-6)
