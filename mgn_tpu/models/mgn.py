@@ -86,6 +86,27 @@ def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
     return params
 
 
+def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
+                     save_residuals: bool, budget: int = 17 << 20) -> bool:
+    """Host-side estimate of the fused kernel's VMEM footprint.
+
+    The kernel keeps node/edge latents + the f32 aggregation buffer resident;
+    with ``fused_backward`` the forward also writes per-round residual output
+    windows.  Over-budget graphs silently take the unfused path instead of
+    dying in a Mosaic scoped-vmem OOM (auto-default safety; an HBM-streaming
+    kernel variant is the future fix for huge meshes).  Budget calibrated on
+    the measured cylinder-size cases: bf16 ± residuals and f32 forward fit;
+    f32 + residuals overflows (16.91 MB measured vs the 16 MB limit).
+    """
+    b = 2 if dtype == jnp.bfloat16 else 4
+    est = n * latent * (2 * b + 4)  # v input + v scratch + f32 agg
+    est += e * latent * 2 * b  # e input + e scratch
+    est += 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
+    if save_residuals:
+        est += (2 * n + e) * latent * b  # residual output windows
+    return est <= budget
+
+
 def apply_mgn(
     params: Dict[str, Any],
     graph: MeshGraph,
@@ -109,7 +130,9 @@ def apply_mgn(
     e = apply_mlp(params["edge_encoder"], graph.edge_features, dt)  # (E, L)
     e = e * edge_valid
 
-    if cfg.fused and fused_plan is not None:
+    if cfg.fused and fused_plan is not None and _fused_fits_vmem(
+            n_pad, graph.edge_features.shape[0], cfg.latent_size, dt,
+            bool(cfg.fused_backward)):
         from mgn_tpu.ops.fused import fused_process
 
         interpret = jax.default_backend() != "tpu"

@@ -168,3 +168,15 @@ def test_union_batched_fused():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(union[t.num_nodes:][:n], single[:n],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_vmem_guard():
+    from mgn_tpu.models.mgn import _fused_fits_vmem
+
+    # measured cylinder-size cases (n_pad=1920, e_pad=11264, latent=128)
+    assert _fused_fits_vmem(1920, 11264, 128, jnp.bfloat16, False)
+    assert _fused_fits_vmem(1920, 11264, 128, jnp.bfloat16, True)
+    assert _fused_fits_vmem(1920, 11264, 128, jnp.float32, False)
+    assert not _fused_fits_vmem(1920, 11264, 128, jnp.float32, True)
+    # a 20k-node / 120k-edge mesh must fall back even in bf16
+    assert not _fused_fits_vmem(20480, 121856, 128, jnp.bfloat16, False)
