@@ -87,7 +87,7 @@ def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
 
 
 def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
-                     save_residuals: bool, budget: int = 17 << 20) -> bool:
+                     save_residuals: bool, budget: int = 16 << 20) -> bool:
     """Host-side estimate of the fused kernel's VMEM footprint.
 
     The kernel keeps node/edge latents + the f32 aggregation buffer resident;
@@ -99,8 +99,10 @@ def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
     f32 + residuals overflows (16.91 MB measured vs the 16 MB limit).
     """
     b = 2 if dtype == jnp.bfloat16 else 4
-    est = n * latent * (2 * b + 4)  # v input + v scratch + f32 agg
-    est += e * latent * 2 * b  # e input + e scratch
+    # v0/e0 inputs stay in HBM (DMA'd into scratch once) — only the scratch
+    # copies, the f32 aggregation buffer and the round weights are resident
+    est = n * latent * (b + 4)  # v scratch + f32 agg
+    est += e * latent * b  # e scratch
     est += 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
     if save_residuals:
         est += (2 * n + e) * latent * b  # residual output windows

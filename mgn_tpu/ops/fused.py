@@ -249,8 +249,18 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         @pl.when(r == 0)
         def _():
-            v_ref[:] = v0_ref[:]
-            e_ref[:] = e0_ref[:]
+            # v0/e0 live in HBM (halves resident VMEM vs full-VMEM inputs);
+            # one DMA into the persistent scratch at round 0
+            def load(sem_v, sem_e):
+                cp_v = pltpu.make_async_copy(v0_ref, v_ref, sem_v)
+                cp_e = pltpu.make_async_copy(e0_ref, e_ref, sem_e)
+                cp_v.start()
+                cp_e.start()
+                cp_v.wait()
+                cp_e.wait()
+
+            pl.run_scoped(load, pltpu.SemaphoreType.DMA(()),
+                          pltpu.SemaphoreType.DMA(()))
 
         if save_residuals:  # start-of-round state for the backward kernel
             vsave_ref[0] = v_ref[:]
@@ -445,7 +455,8 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                           n_layers_e, n_layers_n, mps, cdtype,
                           save_residuals=save_residuals)
 
-    in_specs = [_full_spec(v0.shape), _full_spec(e0.shape),
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),  # v0 stays in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # e0 stays in HBM
                 _full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape)]
     in_specs += [_per_round_spec(w.shape[1:], mps) for w in proc_leaves]
 
