@@ -104,7 +104,7 @@ def main():
 
     s_np = np.asarray(template.senders)
     r_np = np.asarray(template.receivers)
-    for chunk in (512, 1024, 2048):
+    for chunk in (512, 1024):
         p = build_fused_plan(s_np, r_np, template.num_nodes, chunk=chunk,
                              max_band_s=4096)
         if p is None or p.chunk != chunk:
