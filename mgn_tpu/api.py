@@ -8,7 +8,6 @@ trajectories with equal padded shapes reuse one compiled executable.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 

@@ -12,7 +12,7 @@ and RNG seeds are exposed (the reference pins ``seed!(1234)``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 from mgn_tpu.train.strategies import DerivativeTraining, TrainingStrategy
 

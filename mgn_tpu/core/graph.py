@@ -14,7 +14,6 @@ edge lists) is NumPy; everything per-step runs on device.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import jax

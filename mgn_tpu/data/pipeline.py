@@ -20,7 +20,7 @@ import numpy as np
 
 from mgn_tpu.data import hdf5 as hdf5_reader
 from mgn_tpu.data import tfrecord as tfr
-from mgn_tpu.data.meta import load_meta, node_type_range
+from mgn_tpu.data.meta import load_meta
 
 __all__ = ["Trajectory", "Dataset", "load_dataset"]
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mgn_tpu.core.graph import GraphTemplate, bucket_size, build_template, pad_to
+from mgn_tpu.core.graph import GraphTemplate, bucket_size, build_template
 from mgn_tpu.data.meta import node_type_range
 from mgn_tpu.data.pipeline import Trajectory
 from mgn_tpu.train.common import FieldSpec

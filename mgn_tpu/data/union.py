@@ -12,7 +12,7 @@ unimplemented, /root/reference/src/MeshGraphNets.jl:224).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

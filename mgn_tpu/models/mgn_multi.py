@@ -16,7 +16,7 @@ per-edge-set update MLPs, node update consumes every edge set's aggregate):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ so the XLA scatter can use ``indices_are_sorted=True``.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

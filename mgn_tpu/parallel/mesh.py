@@ -9,7 +9,7 @@ collective use lives in :mod:`mgn_tpu.parallel.spmd` / ``halo``.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

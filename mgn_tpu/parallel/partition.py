@@ -20,11 +20,11 @@ splits over the ``graph`` mesh axis (see :mod:`mgn_tpu.parallel.halo`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from mgn_tpu.core.graph import (GraphTemplate, bucket_size, csr_row_offsets,
+from mgn_tpu.core.graph import (bucket_size, csr_row_offsets,
                                 relative_mesh_features)
 
 __all__ = ["PartitionedTemplate", "bisect_partition", "partition_template",

@@ -18,8 +18,6 @@ indexes an (F, N) matrix with node indices — a latent indexing quirk).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
@@ -31,7 +29,7 @@ from mgn_tpu.core.graph import GraphTemplate
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.rollout.dynamics import make_deriv_fn
 from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_adaptive
-from mgn_tpu.train.common import FieldSpec, NormState, pack_fields, type_mask
+from mgn_tpu.train.common import FieldSpec, NormState, type_mask
 
 __all__ = ["make_rollout_fn", "rollout_error_report", "export_rollouts_h5",
            "validation_loss"]

@@ -19,7 +19,6 @@ All integrators save the state at ``saveat`` times (uniform grid) and return
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

@@ -22,8 +22,7 @@ reference's host-side time-axis shuffle (/root/reference/src/dataset.jl:511-524)
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import sys
 import time
-from typing import Any, Dict, Optional, TextIO
+from typing import Any, Optional, TextIO
 
 __all__ = ["MetricsLogger"]
 
