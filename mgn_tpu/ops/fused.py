@@ -430,7 +430,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     return kernel
 
 
-def _full_spec(shape, rev_round=None):
+def _full_spec(shape):
     return pl.BlockSpec(shape, lambda g, *_: (0,) * len(shape),
                         memory_space=pltpu.VMEM)
 

@@ -94,3 +94,17 @@ def test_spatial_reorder_preserves_training_semantics():
     assert int(p.template.edge_mask.sum()) > 0
     back = p.unpermute(np.asarray(p.fields["velocity"][0]))
     assert np.allclose(back, vel[0])
+
+
+def test_args_auto_resolution_cpu():
+    """None (=auto) TPU-path knobs resolve to False off-TPU; explicit values
+    pass through untouched."""
+    from mgn_tpu.config import Args
+
+    a = Args().resolve_auto()
+    assert a.spatial_reorder is False and a.fused is False \
+        and a.fused_backward is False
+    b = Args(fused=True, spatial_reorder=True,
+             fused_backward=False).resolve_auto()
+    assert b.fused is True and b.spatial_reorder is True \
+        and b.fused_backward is False
