@@ -68,8 +68,9 @@ class Args:
     # enable the fused round kernel (ops/fused.py) and banded gathers;
     # per-node outputs are un-permuted before export.
     # None = auto: on for TPU backends, off elsewhere (same for the two
-    # fused knobs; fused_backward additionally requires bfloat16 — the f32
-    # residual-saving forward exceeds VMEM at production sizes)
+    # fused knobs; when the per-round residual windows don't fit VMEM —
+    # f32 at cylinder size, any dtype at airfoil size — the kernels stream
+    # them from HBM automatically, so the auto default holds at any size)
     spatial_reorder: Optional[bool] = None
     fused: Optional[bool] = None  # fused round kernel for the processor
     fused_backward: Optional[bool] = None  # native reverse-round backward
@@ -103,7 +104,6 @@ class Args:
             spatial_reorder=(on_tpu if self.spatial_reorder is None
                              else self.spatial_reorder),
             fused=on_tpu if self.fused is None else self.fused,
-            fused_backward=(
-                (on_tpu and self.compute_dtype == "bfloat16")
-                if self.fused_backward is None else self.fused_backward),
+            fused_backward=(on_tpu if self.fused_backward is None
+                            else self.fused_backward),
         )

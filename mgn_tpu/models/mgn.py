@@ -98,14 +98,16 @@ def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
     the measured cylinder-size cases: bf16 ± residuals and f32 forward fit;
     f32 + residuals overflows (16.91 MB measured vs the 16 MB limit).
     """
+    del save_residuals  # residuals stream from HBM when they don't fit
     b = 2 if dtype == jnp.bfloat16 else 4
     # v0/e0 inputs stay in HBM (DMA'd into scratch once) — only the scratch
-    # copies, the f32 aggregation buffer and the round weights are resident
+    # copies, the f32 aggregation buffer and the round weights are resident;
+    # residual saves and the backward's carries switch to the HBM-streaming
+    # kernels automatically when the resident variants would not fit
+    # (ops/fused.residuals_resident), so they do not bound the mesh size
     est = n * latent * (b + 4)  # v scratch + f32 agg
     est += e * latent * b  # e scratch
     est += 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
-    if save_residuals:
-        est += (2 * n + e) * latent * b  # residual output windows
     return est <= budget
 
 

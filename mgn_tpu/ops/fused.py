@@ -48,6 +48,7 @@ __all__ = ["FusedPlan", "build_fused_plan", "fused_process",
            "process_rounds_xla"]
 
 _ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
+_FORCE_STREAM = False  # testing hook: force the streaming residual path
 
 
 class FusedPlan(struct.PyTreeNode):
@@ -64,6 +65,17 @@ class FusedPlan(struct.PyTreeNode):
 
 def _round_up(x: int, m: int) -> int:
     return -(-int(x) // m) * m
+
+
+def _node_block(n: int, cap: int = 2048) -> int:
+    """Largest row-block ≤ cap that divides n (multiple of 128): bounds the
+    node-stage MLP temporaries so big-N meshes don't blow VMEM."""
+    d = n // 128
+    best = 1
+    for k in range(1, cap // 128 + 1):
+        if d % k == 0:
+            best = k
+    return 128 * best
 
 
 def build_fused_plan(
@@ -225,9 +237,20 @@ def _unpack_weight_refs(refs, n_layers_e, n_layers_n):
     return ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b
 
 
+def _dma(src, dst):
+    """Scoped synchronous DMA (start+wait); ~µs for the sizes used here."""
+    def run(sem):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    pl.run_scoped(run, pltpu.SemaphoreType.DMA(()))
+
+
 def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
-                 cdtype, save_residuals: bool = False):
+                 cdtype, save_residuals: bool = False,
+                 stream_saves: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
@@ -236,7 +259,11 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
         weight_refs = refs[:n_weights]
         refs = refs[n_weights:]
-        if save_residuals:
+        aggc_scr = None
+        if save_residuals and stream_saves:
+            (vout_ref, vsave_ref, esave_ref, aggsave_ref,
+             v_ref, e_ref, agg_ref, aggc_scr) = refs
+        elif save_residuals:
             (vout_ref, vsave_ref, esave_ref, aggsave_ref,
              v_ref, e_ref, agg_ref) = refs
         else:
@@ -262,9 +289,15 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             pl.run_scoped(load, pltpu.SemaphoreType.DMA(()),
                           pltpu.SemaphoreType.DMA(()))
 
-        if save_residuals:  # start-of-round state for the backward kernel
+        if save_residuals and not stream_saves:
+            # start-of-round state for the backward kernel (VMEM windows)
             vsave_ref[0] = v_ref[:]
             esave_ref[0] = e_ref[:]
+        elif save_residuals:
+            # streamed saves: residual stacks are HBM (ANY) outputs; DMA the
+            # start-of-round state out before the edge stage mutates it
+            _dma(v_ref, vsave_ref.at[r])
+            _dma(e_ref, esave_ref.at[r])
 
         agg_ref[:] = jnp.zeros((n, latent), f32)
 
@@ -299,15 +332,22 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         jax.lax.fori_loop(0, chunks, edge_chunk, 0, unroll=True)
 
-        if save_residuals:
+        if save_residuals and not stream_saves:
             aggsave_ref[0] = agg_ref[:].astype(cdtype)
+        elif save_residuals:
+            aggc_scr[:] = agg_ref[:].astype(cdtype)
+            _dma(aggc_scr, aggsave_ref.at[r])
 
-        # node stage: no gather — whole-array MXU matmuls over (N, L)
-        v_all = v_ref[:]
-        agg_all = agg_ref[:].astype(cdtype)
-        upd, _ = _mlp_fwd((v_all, agg_all), nw, nb, nln_s, nln_b,
-                          (latent, latent), cdtype)
-        v_ref[:] = v_all + upd
+        # node stage: no gather — blocked MXU matmuls over (node_blk, L)
+        # rows (bounds the MLP temporaries for big-N meshes)
+        node_blk = _node_block(n)
+        for b in range(n // node_blk):
+            sl = pl.ds(b * node_blk, node_blk)
+            v_c = v_ref[sl, :]
+            agg_c = agg_ref[sl, :].astype(cdtype)
+            upd, _ = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
+                              (latent, latent), cdtype)
+            v_ref[sl, :] = v_c + upd
 
         @pl.when(r == mps - 1)
         def _():
@@ -348,25 +388,27 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             dv_ref[:] = g_ref[:].astype(cdtype)
             de_ref[:] = jnp.zeros((e, latent), cdtype)
 
-        v = vsave_ref[0]  # start-of-round latents
-        agg = aggsave_ref[0]
-
-        # ---- node stage backward (whole-array) ------------------------------
-        upd, cache_n = _mlp_fwd((v, agg), nw, nb, nln_s, nln_b,
-                                (latent, latent), cdtype)
-        dupd = dv_ref[:]  # v' = v + upd  =>  d upd = dv'
-        (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
-            dupd, cache_n, (v, agg), nw, nln_s, (latent, latent), cdtype)
-        dv_ref[:] = dv_ref[:] + dv_p
-        dagg_ref[:] = dagg_p.astype(f32)
-        # node weight grads for this round
+        # ---- node stage backward (blocked rows) ------------------------------
         i = n_layers_e * 2 + 2
-        for k in range(n_layers_n):
-            grad_refs[i + k][0] = dnw[k]
-        for k in range(n_layers_n):
-            grad_refs[i + n_layers_n + k][0] = dnb[k]
-        grad_refs[i + 2 * n_layers_n][0] = dgn
-        grad_refs[i + 2 * n_layers_n + 1][0] = dbn
+        node_blk = _node_block(n)
+        for b in range(n // node_blk):
+            sl = pl.ds(b * node_blk, node_blk)
+            v_c = vsave_ref[0, sl, :]  # start-of-round latents
+            agg_c = aggsave_ref[0, sl, :]
+            upd, cache_n = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
+                                    (latent, latent), cdtype)
+            dupd = dv_ref[sl, :]  # v' = v + upd  =>  d upd = dv'
+            (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
+                dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
+                cdtype)
+            dv_ref[sl, :] = dv_ref[sl, :] + dv_p
+            dagg_ref[sl, :] = dagg_p.astype(f32)
+            parts = dnw + dnb + [dgn, dbn]
+            for k, gval in enumerate(parts):
+                if b == 0:
+                    grad_refs[i + k][0] = gval
+                else:
+                    grad_refs[i + k][0] += gval
 
         # ---- edge stage backward (per chunk, recompute + adjoint) -----------
         def zeros_like_ref(ref):
@@ -430,6 +472,171 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     return kernel
 
 
+def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
+                            band_r: int, chunk: int, n_layers_e: int,
+                            n_layers_n: int, mps: int, cdtype):
+    """Streaming variant of the reverse-round backward for meshes whose edge
+    arrays do not fit VMEM: the saved residual stacks stay in HBM (per-round
+    v/agg DMA'd whole; e DMA'd per chunk with 2-slot prefetch) and the ``de``
+    cotangent carry lives **inside the de0 output buffer** (HBM), read-
+    modify-written per chunk.  dv and the weight-grad accumulators stay in
+    VMEM — the resident footprint is O(N·L + chunk·L), independent of E.
+    """
+    chunks = e // chunk
+    f32 = jnp.float32
+    n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
+
+    def kernel(starts_s_ref, starts_r_ref,
+               rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
+               aggsave_ref, *refs):
+        weight_refs = refs[:n_weights]
+        grad_refs = refs[n_weights:n_weights * 2]
+        dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
+        (dv_ref, dagg_ref, vs_scr, aggc_scr, ec_scr, dec_scr, deo_scr,
+         sem_e, sem_d, sem_w) = refs[n_weights * 2 + 2:]
+
+        (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
+            weight_refs, n_layers_e, n_layers_n)
+
+        gidx = pl.program_id(0)
+        ridx = mps - 1 - gidx
+
+        @pl.when(gidx == 0)
+        def _():
+            dv_ref[:] = g_ref[:].astype(cdtype)
+
+        _dma(vsave_ref.at[ridx], vs_scr)
+        _dma(aggsave_ref.at[ridx], aggc_scr)
+
+        # ---- node stage backward (blocked rows) ------------------------------
+        i = n_layers_e * 2 + 2
+        node_blk = _node_block(n)
+        for b in range(n // node_blk):
+            sl = pl.ds(b * node_blk, node_blk)
+            v_c = vs_scr[sl, :]
+            agg_c = aggc_scr[sl, :]
+            upd, cache_n = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
+                                    (latent, latent), cdtype)
+            dupd = dv_ref[sl, :]
+            (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
+                dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
+                cdtype)
+            dv_ref[sl, :] = dv_ref[sl, :] + dv_p
+            dagg_ref[sl, :] = dagg_p.astype(f32)
+            parts = dnw + dnb + [dgn, dbn]
+            for k, gval in enumerate(parts):
+                if b == 0:
+                    grad_refs[i + k][0] = gval
+                else:
+                    grad_refs[i + k][0] += gval
+
+        for k in range(n_layers_e * 2 + 2):
+            grad_refs[k][0] = jnp.zeros(grad_refs[k].shape[1:], f32)
+
+        # ---- edge chunks: 2-slot prefetched reads, 2-slot deferred writes ---
+        def read_e(slot, c):
+            return pltpu.make_async_copy(
+                esave_ref.at[ridx, pl.ds(c * chunk, chunk)],
+                ec_scr.at[slot], sem_e.at[slot])
+
+        def read_d(slot, c):
+            # at gidx==0 the buffer is uninitialized; the value is masked to
+            # zero below, the DMA just keeps the slot protocol uniform
+            return pltpu.make_async_copy(
+                de0_ref.at[pl.ds(c * chunk, chunk)],
+                dec_scr.at[slot], sem_d.at[slot])
+
+        def write_d(slot, c):
+            return pltpu.make_async_copy(
+                deo_scr.at[slot],
+                de0_ref.at[pl.ds(c * chunk, chunk)], sem_w.at[slot])
+
+        read_e(0, 0).start()
+        read_d(0, 0).start()
+
+        def chunk_body(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < chunks)
+            def _():
+                read_e((c + 1) % 2, c + 1).start()
+                read_d((c + 1) % 2, c + 1).start()
+
+            read_e(slot, c).wait()
+            read_d(slot, c).wait()
+            ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
+            sr = pl.multiple_of(starts_r_ref[c], _ALIGN)
+            rel_s = rel_s_ref[c]
+            rel_r = rel_r_ref[c]
+            e_c = ec_scr[slot]
+            # first processed round: the de0 buffer is uninitialized HBM —
+            # select (not multiply: NaN-safe) zero
+            de_c = jnp.where(gidx > 0, dec_scr[slot],
+                             jnp.zeros((chunk, latent), cdtype))
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
+                    == rel_s[None, :]).astype(cdtype)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
+                    == rel_r[None, :]).astype(cdtype)
+            vs = jax.lax.dot_general(
+                oh_s, vs_scr[pl.ds(ss, band_s), :], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            vr = jax.lax.dot_general(
+                oh_r, vs_scr[pl.ds(sr, band_r), :], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                  (latent, latent, latent), cdtype)
+            dmsg = de_c + jax.lax.dot_general(
+                oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
+                dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
+                (latent, latent, latent), cdtype)
+
+            @pl.when(c >= 2)  # slot reused: prior write must have landed
+            def _():
+                write_d(slot, c - 2).wait()
+
+            deo_scr[slot] = de_c + de_p
+            write_d(slot, c).start()
+            dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                oh_s, dvs, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                oh_r, dvr, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            for k in range(n_layers_e):
+                grad_refs[k][0] += dew[k]
+                grad_refs[n_layers_e + k][0] += deb[k]
+            grad_refs[2 * n_layers_e][0] += dge
+            grad_refs[2 * n_layers_e + 1][0] += dbe
+            return 0
+
+        jax.lax.fori_loop(0, chunks, chunk_body, 0)
+        # drain outstanding de writes before the next round reads them
+        for c in range(max(chunks - 2, 0), chunks):
+            write_d(c % 2, c).wait()
+
+        @pl.when(gidx == mps - 1)
+        def _():
+            dv0_ref[:] = dv_ref[:]
+
+    return kernel
+
+
+def residuals_resident(n: int, e: int, latent: int, dtype,
+                       budget: int = 15 << 20) -> bool:
+    """Can the backward keep the per-round residual windows + carries in VMEM
+    (fast path), or must it stream them from HBM?  Shared by the forward
+    (which chooses how to emit the saves) and the backward."""
+    b = 2 if dtype == jnp.bfloat16 else 4
+    est = 2 * (2 * n + e) * latent * b  # double-buffered per-round windows
+    est += (n + e) * latent * b  # dv + de carries
+    est += n * latent * (4 + b)  # dagg + g
+    est += 2 * 2 * 9 * latent * latent * 4  # weights (dbl-buffered) + grads
+    return est <= budget
+
+
 def _full_spec(shape):
     return pl.BlockSpec(shape, lambda g, *_: (0,) * len(shape),
                         memory_space=pltpu.VMEM)
@@ -451,12 +658,14 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
+    stream = save_residuals and (_FORCE_STREAM or
+                                 not residuals_resident(n, e, latent, cdtype))
     kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
                           n_layers_e, n_layers_n, mps, cdtype,
-                          save_residuals=save_residuals)
+                          save_residuals=save_residuals, stream_saves=stream)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),  # v0 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # e0 stays in HBM
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),  # v0 stays in HBM
+                pl.BlockSpec(memory_space=pltpu.HBM),  # e0 stays in HBM
                 _full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape)]
     in_specs += [_per_round_spec(w.shape[1:], mps) for w in proc_leaves]
 
@@ -466,20 +675,27 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
                       jax.ShapeDtypeStruct((mps, e, latent), cdtype),
                       jax.ShapeDtypeStruct((mps, n, latent), cdtype)]
-        out_specs += [_per_round_spec((n, latent), mps),
-                      _per_round_spec((e, latent), mps),
-                      _per_round_spec((n, latent), mps)]
+        if stream:
+            out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        else:
+            out_specs += [_per_round_spec((n, latent), mps),
+                          _per_round_spec((e, latent), mps),
+                          _per_round_spec((n, latent), mps)]
+
+    scratch = [
+        pltpu.VMEM((n, latent), cdtype),
+        pltpu.VMEM((e, latent), cdtype),
+        pltpu.VMEM((n, latent), jnp.float32),
+    ]
+    if stream:
+        scratch.append(pltpu.VMEM((n, latent), cdtype))  # agg cast staging
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(mps,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((n, latent), cdtype),
-            pltpu.VMEM((e, latent), cdtype),
-            pltpu.VMEM((n, latent), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -498,14 +714,20 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
     _, n, latent = vsave.shape
     e = esave.shape[1]
     cdtype = vsave.dtype
-    kernel = _make_bwd_kernel(n, e, latent, plan.band_s, plan.band_r,
-                              plan.chunk, n_layers_e, n_layers_n, mps, cdtype)
+    stream = _FORCE_STREAM or not residuals_resident(n, e, latent, cdtype)
+    chunk = plan.chunk
+    make = _make_bwd_kernel_stream if stream else _make_bwd_kernel
+    kernel = make(n, e, latent, plan.band_s, plan.band_r,
+                  plan.chunk, n_layers_e, n_layers_n, mps, cdtype)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
-                _full_spec((n, latent)),
-                _per_round_spec((n, latent), mps, reverse=True),
-                _per_round_spec((e, latent), mps, reverse=True),
-                _per_round_spec((n, latent), mps, reverse=True)]
+                _full_spec((n, latent))]
+    if stream:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+    else:
+        in_specs += [_per_round_spec((n, latent), mps, reverse=True),
+                     _per_round_spec((e, latent), mps, reverse=True),
+                     _per_round_spec((n, latent), mps, reverse=True)]
     in_specs += [_per_round_spec(w.shape[1:], mps, reverse=True)
                  for w in proc_leaves]
 
@@ -515,18 +737,36 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                  for w in proc_leaves]
     out_shape += [jax.ShapeDtypeStruct((n, latent), cdtype),
                   jax.ShapeDtypeStruct((e, latent), cdtype)]
-    out_specs += [_full_spec((n, latent)), _full_spec((e, latent))]
+    out_specs += [_full_spec((n, latent)),
+                  pl.BlockSpec(memory_space=pltpu.HBM) if stream
+                  else _full_spec((e, latent))]
+
+    if stream:
+        scratch = [
+            pltpu.VMEM((n, latent), cdtype),  # dv carry
+            pltpu.VMEM((n, latent), jnp.float32),  # dagg
+            pltpu.VMEM((n, latent), cdtype),  # vs_scr (saved v)
+            pltpu.VMEM((n, latent), cdtype),  # aggc_scr (saved agg)
+            pltpu.VMEM((2, chunk, latent), cdtype),  # ec_scr
+            pltpu.VMEM((2, chunk, latent), cdtype),  # dec_scr
+            pltpu.VMEM((2, chunk, latent), cdtype),  # deo_scr
+            pltpu.SemaphoreType.DMA((2,)),  # sem_e
+            pltpu.SemaphoreType.DMA((2,)),  # sem_d
+            pltpu.SemaphoreType.DMA((2,)),  # sem_w
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((n, latent), cdtype),  # dv carry
+            pltpu.VMEM((e, latent), cdtype),  # de carry
+            pltpu.VMEM((n, latent), jnp.float32),  # dagg
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(mps,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((n, latent), cdtype),  # dv carry
-            pltpu.VMEM((e, latent), cdtype),  # de carry
-            pltpu.VMEM((n, latent), jnp.float32),  # dagg
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,

@@ -177,6 +177,48 @@ def test_fused_vmem_guard():
     assert _fused_fits_vmem(1920, 11264, 128, jnp.bfloat16, False)
     assert _fused_fits_vmem(1920, 11264, 128, jnp.bfloat16, True)
     assert _fused_fits_vmem(1920, 11264, 128, jnp.float32, False)
-    assert not _fused_fits_vmem(1920, 11264, 128, jnp.float32, True)
+    # f32 + residuals streams from HBM now -> allowed
+    assert _fused_fits_vmem(1920, 11264, 128, jnp.float32, True)
     # a 20k-node / 120k-edge mesh must fall back even in bf16
     assert not _fused_fits_vmem(20480, 121856, 128, jnp.bfloat16, False)
+    # airfoil-class stays fused; resident residuals no longer the bound
+    assert _fused_fits_vmem(5376, 31232, 128, jnp.bfloat16, True)
+
+
+def test_fused_streaming_backward_matches_resident():
+    """The HBM-streaming residual path (big meshes) produces the same
+    gradients as the VMEM-resident path (forced via the testing hook)."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(7)
+    n, e, latent, mps = 256, 1024, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(0), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def grads():
+        def loss(p, v, e_):
+            out = fused_process(p, v, e_, plan, sj, rj, ev, mps,
+                                interpret=True, kernel_bwd=True)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(proc, v0, e0)
+
+    g_res = grads()
+    F._FORCE_STREAM = True
+    F._make_fused.cache_clear()
+    try:
+        g_str = grads()
+    finally:
+        F._FORCE_STREAM = False
+        F._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(g_str), jax.tree.leaves(g_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
