@@ -49,6 +49,11 @@ __all__ = ["FusedPlan", "build_fused_plan", "fused_process",
 
 _ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
 _FORCE_STREAM = False  # testing hook: force the streaming residual path
+# perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
+# "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
+# iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
+# gather matmuls entirely (vs/vr reuse e_c).  Timing-only — outputs are wrong.
+_PROBE = None
 
 
 class FusedPlan(struct.PyTreeNode):
@@ -311,16 +316,28 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             e_c = e_ref[pl.ds(base, chunk), :]
             v_band_s = v_ref[pl.ds(ss, band_s), :]
             v_band_r = v_ref[pl.ds(sr, band_r), :]
-            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
-                    == rel_s[None, :]).astype(cdtype)
-            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
-                    == rel_r[None, :]).astype(cdtype)
-            vs = jax.lax.dot_general(  # onehotᵀ @ band — gather
-                oh_s, v_band_s, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            vr = jax.lax.dot_general(
-                oh_r, v_band_r, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
+            if _PROBE == "const_oh":  # loop-invariant: build hoisted/CSE'd
+                oh_s = (jax.lax.broadcasted_iota(
+                    jnp.int32, (band_s, chunk), 0) == 0).astype(cdtype)
+                oh_r = (jax.lax.broadcasted_iota(
+                    jnp.int32, (band_r, chunk), 0) == 0).astype(cdtype)
+            else:
+                oh_s = (jax.lax.broadcasted_iota(
+                    jnp.int32, (band_s, chunk), 0)
+                        == rel_s[None, :]).astype(cdtype)
+                oh_r = (jax.lax.broadcasted_iota(
+                    jnp.int32, (band_r, chunk), 0)
+                        == rel_r[None, :]).astype(cdtype)
+            if _PROBE == "skip_gather":
+                vs = e_c
+                vr = e_c
+            else:
+                vs = jax.lax.dot_general(  # onehotᵀ @ band — gather
+                    oh_s, v_band_s, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                vr = jax.lax.dot_general(
+                    oh_r, v_band_r, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
             msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
                               (latent, latent, latent), cdtype)
             e_ref[pl.ds(base, chunk), :] = e_c + msg
