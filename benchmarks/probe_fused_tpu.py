@@ -109,6 +109,8 @@ def main():
     t_const = bench("const_oh (no per-chunk oh build)", plan, "const_oh")
     t_skip = bench("skip_gather (no oh, no gather matmuls)", plan,
                    "skip_gather")
+    t_mlp = bench("skip_mlp (identity message MLP)", plan, "skip_mlp")
+    t_sc = bench("skip_scatter (no agg scatter-add)", plan, "skip_scatter")
     t_ws = bench("band_s widened 384->512", widen(plan, band_s=512))
     t_wr = bench("band_r widened 128->256", widen(plan, band_r=256))
 
@@ -117,6 +119,10 @@ def main():
           f"({100*(t_base-t_const)/t_base:.0f}%)", flush=True)
     print(f"gather total (build+matmul): {(t_base-t_skip)*1e3:.3f} ms "
           f"({100*(t_base-t_skip)/t_base:.0f}%)", flush=True)
+    print(f"edge MLP: {(t_base-t_mlp)*1e3:.3f} ms "
+          f"({100*(t_base-t_mlp)/t_base:.0f}%)", flush=True)
+    print(f"scatter-add: {(t_base-t_sc)*1e3:.3f} ms "
+          f"({100*(t_base-t_sc)/t_base:.0f}%)", flush=True)
     print(f"d t / d band_s (per 128): {(t_ws-t_base)*1e3:.3f} ms", flush=True)
     print(f"d t / d band_r (per 128): {(t_wr-t_base)*1e3:.3f} ms", flush=True)
 

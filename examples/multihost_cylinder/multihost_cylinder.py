@@ -88,7 +88,7 @@ def main():
             tms.append(tr.times)
         frames = rng.integers(0, ds.meta["trajectory_length"] - 1,
                               size=data_ax)
-        batch, bs = batch_from_partitioned(pts, fls, tms, frames)
+        batch, bs, _ = batch_from_partitioned(pts, fls, tms, frames)
         if step is None:
             step = make_spmd_derivative_step(mesh, cfg, spec, opt,
                                              noise_stddevs=(0.02,),

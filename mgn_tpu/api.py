@@ -288,7 +288,8 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
     import jax
 
     from mgn_tpu.core.graph import cells_to_edges, parse_edges
-    from mgn_tpu.parallel.partition import add_halo_plan, partition_template
+    from mgn_tpu.parallel.partition import (add_fused_plans, add_halo_plan,
+                                            partition_template)
     from mgn_tpu.parallel.spmd import (batch_from_partitioned,
                                        make_device_mesh,
                                        make_spmd_derivative_step)
@@ -296,9 +297,17 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
     P = args.graph_parallel
     B = max(args.batchsize, 1)
     mesh = make_device_mesh(B, P)
+    # the per-round fused kernel (parallel/halo.py) wants spatially ordered
+    # parts, chunk-aligned edge buckets / boundary tails, and a host-side
+    # VMEM-fit check; when any trajectory's bands blow the caps the plans
+    # stay None and the step falls back to the banded halo path
+    try_fused = bool(model_cfg.fused)
     # shared per-part buckets so every trajectory compiles once
+    bucket_m = 512 if try_fused else 128
     part_node_bucket = max(128, -(-(node_bucket // P) // 128) * 128 + 128)
-    part_edge_bucket = max(256, -(-(edge_bucket // P) // 128) * 128 + 256)
+    part_edge_bucket = max(
+        2 * bucket_m,
+        -(-(edge_bucket // P) // bucket_m) * bucket_m + 2 * bucket_m)
 
     rollout_valid = jax.jit(make_rollout_fn(
         model_cfg, spec, solver=args.solver_valid,
@@ -317,25 +326,51 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
             s, r = parse_edges(tr.edges)
         return tr, partition_template(tr.mesh_pos, tr.node_type, s, r, P,
                                       part_node_bucket=part_node_bucket,
-                                      part_edge_bucket=part_edge_bucket)
+                                      part_edge_bucket=part_edge_bucket,
+                                      spatial_order=try_fused)
 
     # probe a few trajectories to fix shared halo/boundary capacities, so
     # every trajectory's plan has identical static shapes (one compile)
-    probe = [add_halo_plan(raw_partition(i)[1])
-             for i in range(min(4, dataset.num_trajectories))]
+    probe_parts = [raw_partition(i)[1]
+                   for i in range(min(4, dataset.num_trajectories))]
+    probe = [add_halo_plan(p, boundary_multiple=bucket_m)
+             for p in probe_parts]
     halo_size = max(p.halo_size for p in probe)
     caps = [p.senders_global.shape[1] - p.boundary_start for p in probe
             if p.boundary_start is not None]
     split = len(caps) == len(probe)
     boundary_cap = max(caps) if split else None
 
+    def plan_part(pt):
+        pt = add_halo_plan(pt, split_boundary=split,
+                           force_halo_size=halo_size,
+                           force_boundary_cap=boundary_cap,
+                           boundary_multiple=bucket_m)
+        if try_fused:
+            pt = add_fused_plans(pt, force_band_s=fused_band_s,
+                                 force_band_r=fused_band_r)
+        return pt
+
+    # second probe pass under the forced capacities fixes the fused bands
+    # across trajectories (ext_nodes is already uniform once halo_size is);
+    # any probe failure (band caps exceeded) disables the fused round path
+    fused_band_s = fused_band_r = None
+    if try_fused:
+        fprobe = [add_fused_plans(add_halo_plan(
+            p, split_boundary=split, force_halo_size=halo_size,
+            force_boundary_cap=boundary_cap, boundary_multiple=bucket_m))
+            for p in probe_parts]
+        if all(fp.fused_rel_s is not None for fp in fprobe):
+            fused_band_s = max(fp.fused_band_s for fp in fprobe)
+            fused_band_r = max(fp.fused_band_r for fp in fprobe)
+        else:
+            try_fused = False
+
     def get_part(i):
         i = i % dataset.num_trajectories
         if i not in parts:
             tr, pt = raw_partition(i)
-            parts[i] = (add_halo_plan(pt, split_boundary=split,
-                                      force_halo_size=halo_size,
-                                      force_boundary_cap=boundary_cap), tr)
+            parts[i] = (plan_part(pt), tr)
         return parts[i]
 
     step_fn = None
@@ -354,13 +389,14 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
             tms.append(tr.times)
         traj_idx += B
         frames = rng.integers(0, min(t.shape[0] for t in tms) - 1, size=B)
-        batch, boundary_start = batch_from_partitioned(pts, fls, tms, frames)
+        batch, boundary_start, fused_static = batch_from_partitioned(
+            pts, fls, tms, frames)
         if step_fn is None:
             step_fn = make_spmd_derivative_step(
                 mesh, model_cfg, spec, opt, noise_stddevs=noise,
                 types_updated=args.types_updated,
                 types_noisy=args.types_noisy, norm_steps=args.norm_steps,
-                boundary_start=boundary_start)
+                boundary_start=boundary_start, fused_static=fused_static)
         key = jax.random.PRNGKey(rng.integers(2**31))
         state, loss = step_fn(state, batch.tree(), key)
         loss = float(loss)

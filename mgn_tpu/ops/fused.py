@@ -52,7 +52,9 @@ _FORCE_STREAM = False  # testing hook: force the streaming residual path
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
-# gather matmuls entirely (vs/vr reuse e_c).  Timing-only — outputs are wrong.
+# gather matmuls entirely (vs/vr reuse e_c); "skip_mlp" = identity message
+# MLP; "skip_scatter" = drop the agg scatter-add matmuls.  Timing-only —
+# outputs are wrong for every non-None value.
 _PROBE = None
 
 
@@ -90,12 +92,18 @@ def build_fused_plan(
     max_band_s: int = 2048,
     max_band_r: int = 1024,
     chunk: int = 512,
+    force_band_s: Optional[int] = None,
+    force_band_r: Optional[int] = None,
 ) -> Optional[FusedPlan]:
     """Banding plan over static ``chunk``-edge chunks; ``None`` when any
     chunk's sender/receiver window exceeds the band caps (spatially unordered
     mesh — callers fall back to the unfused path).  Larger chunks mean larger
     (more MXU-efficient) matmuls but wider bands; ``chunk`` must be a
-    multiple of 128 (int32 lane width) and divide the padded edge count."""
+    multiple of 128 (int32 lane width) and divide the padded edge count.
+
+    ``force_band_s``/``force_band_r`` pin the band widths (SPMD callers need
+    identical static shapes across graph partitions); ``None`` when a forced
+    band is narrower than the required one."""
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
     e = senders.shape[0]
@@ -104,19 +112,23 @@ def build_fused_plan(
     if e % chunk != 0 or chunk % 128 != 0 or num_nodes % 128 != 0:
         return None
 
-    def plan_axis(idx, max_band):
+    def plan_axis(idx, max_band, force_band):
         chunks = idx.reshape(-1, chunk)
         starts = (chunks.min(1) // _ALIGN) * _ALIGN
         span = chunks.max(1) - starts + 1
         band = _round_up(span.max(), 128)
+        if force_band is not None:
+            if force_band < band:
+                return None
+            band = force_band
         if band > max_band or band > num_nodes:
             return None
         starts = np.minimum(starts, num_nodes - band).astype(np.int32)
         rel = (chunks - starts[:, None]).astype(np.int32)
         return starts, rel, int(band)
 
-    ps = plan_axis(senders, max_band_s)
-    pr = plan_axis(receivers, max_band_r)
+    ps = plan_axis(senders, max_band_s, force_band_s)
+    pr = plan_axis(receivers, max_band_r, force_band_r)
     if ps is None or pr is None:
         return None
     return FusedPlan(
@@ -255,7 +267,7 @@ def _dma(src, dst):
 def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                  cdtype, save_residuals: bool = False,
-                 stream_saves: bool = False):
+                 stream_saves: bool = False, return_edges: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
@@ -264,6 +276,10 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
         weight_refs = refs[:n_weights]
         refs = refs[n_weights:]
+        eout_ref = None
+        if return_edges:
+            eout_ref = refs[1]
+            refs = refs[:1] + refs[2:]
         aggc_scr = None
         if save_residuals and stream_saves:
             (vout_ref, vsave_ref, esave_ref, aggsave_ref,
@@ -338,13 +354,17 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 vr = jax.lax.dot_general(
                     oh_r, v_band_r, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32).astype(cdtype)
-            msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                              (latent, latent, latent), cdtype)
+            if _PROBE == "skip_mlp":
+                msg = vs
+            else:
+                msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                  (latent, latent, latent), cdtype)
             e_ref[pl.ds(base, chunk), :] = e_c + msg
-            contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
-                oh_r, msg, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            agg_ref[pl.ds(sr, band_r), :] += contrib
+            if _PROBE != "skip_scatter":
+                contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
+                    oh_r, msg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                agg_ref[pl.ds(sr, band_r), :] += contrib
             return 0
 
         jax.lax.fori_loop(0, chunks, edge_chunk, 0, unroll=True)
@@ -369,27 +389,35 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         @pl.when(r == mps - 1)
         def _():
             vout_ref[:] = v_ref[:]
+            if return_edges:
+                eout_ref[:] = e_ref[:]
 
     return kernel
 
 
 def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
-                     cdtype):
+                     cdtype, with_ge: bool = False):
     """Reverse-round backward: grid step g processes round mps-1-g.
 
     Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
     MLP intermediates on the fly (memory-efficient discrete adjoint).
     Cotangent carries (dv, de) live in VMEM scratch in ``cdtype`` (JAX's
     cotangent dtype for a ``cdtype`` primal); weight grads are f32.
+    ``with_ge``: an incoming edge-latent cotangent seeds the ``de`` carry
+    (the ``return_edges`` forward).
     """
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
 
-    def kernel(starts_s_ref, starts_r_ref,
-               rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
-               aggsave_ref, *refs):
+    def kernel(starts_s_ref, starts_r_ref, *pre):
+        if with_ge:
+            (rel_s_ref, rel_r_ref, g_ref, ge_ref, vsave_ref, esave_ref,
+             aggsave_ref), refs = pre[:7], pre[7:]
+        else:
+            (rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
+             aggsave_ref), refs = pre[:6], pre[6:]
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
@@ -403,7 +431,10 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         @pl.when(gidx == 0)
         def _():
             dv_ref[:] = g_ref[:].astype(cdtype)
-            de_ref[:] = jnp.zeros((e, latent), cdtype)
+            if with_ge:
+                de_ref[:] = ge_ref[:]
+            else:
+                de_ref[:] = jnp.zeros((e, latent), cdtype)
 
         # ---- node stage backward (blocked rows) ------------------------------
         i = n_layers_e * 2 + 2
@@ -491,21 +522,29 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
 def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
                             band_r: int, chunk: int, n_layers_e: int,
-                            n_layers_n: int, mps: int, cdtype):
+                            n_layers_n: int, mps: int, cdtype,
+                            with_ge: bool = False):
     """Streaming variant of the reverse-round backward for meshes whose edge
     arrays do not fit VMEM: the saved residual stacks stay in HBM (per-round
     v/agg DMA'd whole; e DMA'd per chunk with 2-slot prefetch) and the ``de``
     cotangent carry lives **inside the de0 output buffer** (HBM), read-
     modify-written per chunk.  dv and the weight-grad accumulators stay in
     VMEM — the resident footprint is O(N·L + chunk·L), independent of E.
+    ``with_ge``: the first processed round's ``de`` chunks are DMA'd from the
+    incoming edge cotangent (HBM) instead of being masked to zero.
     """
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
 
-    def kernel(starts_s_ref, starts_r_ref,
-               rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
-               aggsave_ref, *refs):
+    def kernel(starts_s_ref, starts_r_ref, *pre):
+        if with_ge:
+            (rel_s_ref, rel_r_ref, g_ref, ge_ref, vsave_ref, esave_ref,
+             aggsave_ref), refs = pre[:7], pre[7:]
+        else:
+            ge_ref = None
+            (rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
+             aggsave_ref), refs = pre[:6], pre[6:]
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
@@ -558,10 +597,29 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
         def read_d(slot, c):
             # at gidx==0 the buffer is uninitialized; the value is masked to
-            # zero below, the DMA just keeps the slot protocol uniform
+            # zero below (or, with_ge, the DMA reads the ge input instead);
+            # the DMA keeps the slot protocol uniform
             return pltpu.make_async_copy(
                 de0_ref.at[pl.ds(c * chunk, chunk)],
                 dec_scr.at[slot], sem_d.at[slot])
+
+        def read_g0(slot, c):
+            return pltpu.make_async_copy(
+                ge_ref.at[pl.ds(c * chunk, chunk)],
+                dec_scr.at[slot], sem_d.at[slot])
+
+        def start_read_d(slot, c):
+            if not with_ge:
+                read_d(slot, c).start()
+                return
+
+            @pl.when(gidx == 0)
+            def _():
+                read_g0(slot, c).start()
+
+            @pl.when(gidx > 0)
+            def _():
+                read_d(slot, c).start()
 
         def write_d(slot, c):
             return pltpu.make_async_copy(
@@ -569,7 +627,7 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
                 de0_ref.at[pl.ds(c * chunk, chunk)], sem_w.at[slot])
 
         read_e(0, 0).start()
-        read_d(0, 0).start()
+        start_read_d(0, 0)
 
         def chunk_body(c, _):
             slot = c % 2
@@ -577,7 +635,10 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
             @pl.when(c + 1 < chunks)
             def _():
                 read_e((c + 1) % 2, c + 1).start()
-                read_d((c + 1) % 2, c + 1).start()
+
+            @pl.when(c + 1 < chunks)
+            def _():
+                start_read_d((c + 1) % 2, c + 1)
 
             read_e(slot, c).wait()
             read_d(slot, c).wait()
@@ -586,10 +647,13 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
             rel_s = rel_s_ref[c]
             rel_r = rel_r_ref[c]
             e_c = ec_scr[slot]
-            # first processed round: the de0 buffer is uninitialized HBM —
-            # select (not multiply: NaN-safe) zero
-            de_c = jnp.where(gidx > 0, dec_scr[slot],
-                             jnp.zeros((chunk, latent), cdtype))
+            if with_ge:
+                de_c = dec_scr[slot]  # gidx==0 chunks were DMA'd from ge
+            else:
+                # first processed round: the de0 buffer is uninitialized HBM
+                # — select (not multiply: NaN-safe) zero
+                de_c = jnp.where(gidx > 0, dec_scr[slot],
+                                 jnp.zeros((chunk, latent), cdtype))
             oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
                     == rel_s[None, :]).astype(cdtype)
             oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
@@ -642,14 +706,18 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
 
 def residuals_resident(n: int, e: int, latent: int, dtype,
-                       budget: int = 15 << 20) -> bool:
+                       budget: int = 15 << 20,
+                       n_extra_e: int = 0) -> bool:
     """Can the backward keep the per-round residual windows + carries in VMEM
     (fast path), or must it stream them from HBM?  Shared by the forward
-    (which chooses how to emit the saves) and the backward."""
+    (which chooses how to emit the saves) and the backward.  ``n_extra_e``:
+    additional resident (E, L) cdtype buffers (the ``return_edges`` variants
+    carry an e-output / ge-input)."""
     b = 2 if dtype == jnp.bfloat16 else 4
     est = 2 * (2 * n + e) * latent * b  # double-buffered per-round windows
     est += (n + e) * latent * b  # dv + de carries
     est += n * latent * (4 + b)  # dagg + g
+    est += n_extra_e * e * latent * b
     est += 2 * 2 * 9 * latent * latent * 4  # weights (dbl-buffered) + grads
     return est <= budget
 
@@ -671,15 +739,16 @@ def _per_round_spec(shape_rest, mps, reverse=False):
 
 def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                     n_layers_e: int, n_layers_n: int, interpret: bool,
-                    save_residuals: bool = False):
+                    save_residuals: bool = False, return_edges: bool = False):
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
-    stream = save_residuals and (_FORCE_STREAM or
-                                 not residuals_resident(n, e, latent, cdtype))
+    stream = save_residuals and (_FORCE_STREAM or not residuals_resident(
+        n, e, latent, cdtype, n_extra_e=int(return_edges)))
     kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
                           n_layers_e, n_layers_n, mps, cdtype,
-                          save_residuals=save_residuals, stream_saves=stream)
+                          save_residuals=save_residuals, stream_saves=stream,
+                          return_edges=return_edges)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),  # v0 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.HBM),  # e0 stays in HBM
@@ -688,6 +757,9 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
 
     out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
     out_specs = [_full_spec((n, latent))]
+    if return_edges:
+        out_shape.append(jax.ShapeDtypeStruct((e, latent), cdtype))
+        out_specs.append(_full_spec((e, latent)))
     if save_residuals:
         out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
                       jax.ShapeDtypeStruct((mps, e, latent), cdtype),
@@ -721,24 +793,33 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         interpret=interpret,
     )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
       *proc_leaves)
-    return out if save_residuals else out[0]
+    if save_residuals or return_edges:
+        return tuple(out)
+    return out[0]
 
 
 def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                      g, mps: int, n_layers_e: int, n_layers_n: int,
-                     interpret: bool):
-    """Returns (leaf_grads list, dv0, de0)."""
+                     interpret: bool, ge=None):
+    """Returns (leaf_grads list, dv0, de0).  ``ge``: optional incoming
+    edge-latent cotangent (the ``return_edges`` forward)."""
     _, n, latent = vsave.shape
     e = esave.shape[1]
     cdtype = vsave.dtype
-    stream = _FORCE_STREAM or not residuals_resident(n, e, latent, cdtype)
+    with_ge = ge is not None
+    stream = _FORCE_STREAM or not residuals_resident(
+        n, e, latent, cdtype, n_extra_e=int(with_ge))
     chunk = plan.chunk
     make = _make_bwd_kernel_stream if stream else _make_bwd_kernel
     kernel = make(n, e, latent, plan.band_s, plan.band_r,
-                  plan.chunk, n_layers_e, n_layers_n, mps, cdtype)
+                  plan.chunk, n_layers_e, n_layers_n, mps, cdtype,
+                  with_ge=with_ge)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
                 _full_spec((n, latent))]
+    if with_ge:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM) if stream
+                        else _full_spec((e, latent)))
     if stream:
         in_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
     else:
@@ -785,20 +866,24 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    args = [plan.rel_s, plan.rel_r, g]
+    if with_ge:
+        args.append(ge)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(plan.starts_s, plan.starts_r, plan.rel_s, plan.rel_r, g,
-      vsave, esave, aggsave, *proc_leaves)
+    )(plan.starts_s, plan.starts_r, *args, vsave, esave, aggsave,
+      *proc_leaves)
     n_leaves = len(proc_leaves)
     return list(out[:n_leaves]), out[n_leaves], out[n_leaves + 1]
 
 
 def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
                        mps: int, cdtype, n_pad: int,
-                       row_offsets=None, backend=None):
+                       row_offsets=None, backend=None,
+                       return_edges: bool = False):
     """Reference processor rounds in plain XLA (the unfused block math) —
     used as the fused kernel's backward recompute and in equality tests."""
     from mgn_tpu.models.mlp import apply_mlp_parts
@@ -815,8 +900,8 @@ def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
         upd = apply_mlp_parts(bp["node_mlp"], (v, agg), cdtype)
         return (v + upd, e + msg), None
 
-    (v, _), _ = jax.lax.scan(block, (v0, e0), proc_params)
-    return v
+    (v, e), _ = jax.lax.scan(block, (v0, e0), proc_params)
+    return (v, e) if return_edges else v
 
 
 def _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n):
@@ -837,19 +922,23 @@ def _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n):
 
 @functools.lru_cache(maxsize=32)
 def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
-                interpret: bool, kernel_bwd: bool):
+                interpret: bool, kernel_bwd: bool,
+                return_edges: bool = False):
     """Cached custom_vjp wrapper per static configuration.
 
     ``kernel_bwd=False``: backward recomputes the rounds with plain XLA ops
     (exact, but ~3 XLA passes).  ``kernel_bwd=True``: backward is the native
     reverse-round Pallas kernel consuming per-round residuals the forward
-    saves — the training-speed path.
+    saves — the training-speed path.  ``return_edges``: the primal returns
+    ``(v, e)`` and the backward accepts cotangents for both (the per-round
+    sharded caller threads edge latents between rounds).
     """
 
     def _primal(proc_params, v0, e0, plan, senders, receivers, edge_valid):
         leaves = _flatten_proc(proc_params)
         return _pallas_forward(leaves, v0, e0, plan, mps,
-                               n_layers_e, n_layers_n, interpret)
+                               n_layers_e, n_layers_n, interpret,
+                               return_edges=return_edges)
 
     @jax.custom_vjp
     def fused(proc_params, v0, e0, plan, senders, receivers, edge_valid):
@@ -859,17 +948,24 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
     if kernel_bwd:
         def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
             leaves = _flatten_proc(proc_params)
-            out, vsave, esave, aggsave = _pallas_forward(
+            out = _pallas_forward(
                 leaves, v0, e0, plan, mps, n_layers_e, n_layers_n, interpret,
-                save_residuals=True)
-            return out, (proc_params, plan, vsave, esave, aggsave)
+                save_residuals=True, return_edges=return_edges)
+            if return_edges:
+                v, e, vsave, esave, aggsave = out
+                primal = (v, e)
+            else:
+                v, vsave, esave, aggsave = out
+                primal = v
+            return primal, (proc_params, plan, vsave, esave, aggsave)
 
         def bwd(res, g):
             proc_params, plan, vsave, esave, aggsave = res
+            gv, ge = g if return_edges else (g, None)
             leaves = _flatten_proc(proc_params)
             leaf_grads, dv, de = _pallas_backward(
-                leaves, plan, vsave, esave, aggsave, g, mps,
-                n_layers_e, n_layers_n, interpret)
+                leaves, plan, vsave, esave, aggsave, gv, mps,
+                n_layers_e, n_layers_n, interpret, ge=ge)
             dp = _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n)
             return dp, dv, de, None, None, None, None
     else:
@@ -884,7 +980,8 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
 
             def recompute(p, v, e):
                 return process_rounds_xla(p, v, e, senders, receivers,
-                                          edge_valid, mps, v0.dtype, n_pad)
+                                          edge_valid, mps, v0.dtype, n_pad,
+                                          return_edges=return_edges)
 
             _, vjp = jax.vjp(recompute, proc_params, v0, e0)
             dp, dv, de = vjp(g)
@@ -896,15 +993,18 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
 
 def fused_process(proc_params, v0, e0, plan: FusedPlan, senders, receivers,
                   edge_valid, mps: int, interpret: bool = False,
-                  kernel_bwd: bool = False):
+                  kernel_bwd: bool = False, return_edges: bool = False):
     """Run ``mps`` processor rounds through the fused kernel.
 
     ``proc_params`` is the stacked processor pytree (models/mgn.init_mgn);
     ``senders``/``receivers``/``edge_valid`` are only consumed by the exact
     XLA backward recompute (``kernel_bwd=False``).  Gradients flow to params,
-    v0 and e0 either way.
+    v0 and e0 either way.  ``return_edges``: return ``(v, e)`` after the
+    rounds instead of just ``v`` (differentiable w.r.t. both outputs) — the
+    graph-parallel path calls the kernel once per round and threads both
+    latent carries through the halo exchange (parallel/halo.py).
     """
     n_layers_e, n_layers_n = _mlp_slot_counts(proc_params)
     fn = _make_fused(int(mps), n_layers_e, n_layers_n, bool(interpret),
-                     bool(kernel_bwd))
+                     bool(kernel_bwd), bool(return_edges))
     return fn(proc_params, v0, e0, plan, senders, receivers, edge_valid)

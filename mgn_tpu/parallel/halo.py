@@ -49,6 +49,8 @@ def apply_mgn_sharded(
     boundary_start: Optional[int] = None,  # static: boundary edges at [bs:]
     row_offsets_int: Optional[jax.Array] = None,  # (N_p+1,) CSR over [0:bs)
     row_offsets_bnd: Optional[jax.Array] = None,  # (N_p+1,) CSR over [bs:)
+    fused_plan: Optional[Any] = None,  # FusedPlan over the extended table
+    ext_nodes: int = 0,  # static extended-table rows (partition.ext_nodes)
 ) -> jax.Array:
     """Per-shard forward pass; call inside shard_map over ``axis_name``.
 
@@ -65,6 +67,15 @@ def apply_mgn_sharded(
       the ``all_to_all``, so XLA's async-collective scheduler runs the
       exchange and the interior compute concurrently (SURVEY.md §2.3
       overlap engine) — boundary messages are added when the halo lands.
+    - **halo + fused kernel** (``fused_plan``/``ext_nodes`` given and
+      ``cfg.fused``): each round exchanges the halo, builds the extended
+      ``[own ; halo ; pad]`` latent table, and runs the entire round (banded
+      gathers, edge MLP, scatter-add, node MLP) as ONE per-round call of the
+      fused VMEM-resident Pallas kernel (``ops.fused``, ``return_edges``) —
+      no per-round HBM intermediates.  Takes precedence over the
+      interior/boundary overlap split (the kernel needs the full table
+      before its edge stage; measured single-chip the fused round is ~2x
+      the banded one, which outweighs hiding the small ``all_to_all``).
 
     Returns the local shard of decoded outputs (N_p, output_dim) float32.
     """
@@ -72,7 +83,9 @@ def apply_mgn_sharded(
     n_p = node_features.shape[0]
     edge_valid = edge_mask.astype(dt)[:, None]
     use_halo = halo_serve is not None and senders_halo is not None
-    use_split = use_halo and boundary_start is not None
+    use_fused = (use_halo and fused_plan is not None and ext_nodes > 0
+                 and cfg.fused)
+    use_split = use_halo and boundary_start is not None and not use_fused
 
     v = apply_mlp(params["node_encoder"], node_features, dt)
     e = apply_mlp(params["edge_encoder"], edge_features, dt) * edge_valid
@@ -92,6 +105,30 @@ def apply_mgn_sharded(
             return jnp.take(ext, senders_halo, axis=0)
         v_full = jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
         return jnp.take(v_full, senders_global, axis=0)
+
+    if use_fused:
+        from mgn_tpu.ops.fused import fused_process
+
+        interpret = jax.default_backend() != "tpu"
+        pad = ext_nodes - n_p - halo_serve.shape[0] * halo_serve.shape[1]
+
+        def fused_round(carry, block_params):
+            v, e = carry
+            recv = halo_recv(v)
+            parts = [v, recv]
+            if pad:
+                parts.append(jnp.zeros((pad, v.shape[1]), v.dtype))
+            ext = jnp.concatenate(parts, axis=0)
+            bp1 = jax.tree.map(lambda x: x[None], block_params)
+            vext, e = fused_process(
+                bp1, ext, e, fused_plan, senders_halo, receivers_local,
+                edge_valid, 1, interpret=interpret,
+                kernel_bwd=cfg.fused_backward, return_edges=True)
+            return (vext[:n_p], e), None
+
+        (v, e), _ = jax.lax.scan(fused_round, (v, e), params["processor"])
+        out = apply_mlp(params["decoder"], v, dt)
+        return out.astype(jnp.float32)
 
     def block(carry, block_params):
         v, e = carry

@@ -28,7 +28,7 @@ from mgn_tpu.core.graph import (bucket_size, csr_row_offsets,
                                 relative_mesh_features)
 
 __all__ = ["PartitionedTemplate", "bisect_partition", "partition_template",
-           "add_halo_plan"]
+           "add_halo_plan", "add_fused_plans"]
 
 
 @dataclasses.dataclass
@@ -62,6 +62,17 @@ class PartitionedTemplate:
     boundary_start: Optional[int] = None
     row_offsets_int: Optional[np.ndarray] = None  # (P, N_p+1) CSR over [0:bs)
     row_offsets_bnd: Optional[np.ndarray] = None  # (P, N_p+1) CSR over [bs:)
+    # --- per-part fused-kernel banding plans (None until add_fused_plans) ----
+    # indices are into the extended [own (N_p) ; halo (P*H) ; pad] table of
+    # ``ext_nodes`` rows; bands/chunk are uniform across parts (SPMD shapes)
+    fused_rel_s: Optional[np.ndarray] = None  # (P, C, chunk) int32
+    fused_rel_r: Optional[np.ndarray] = None  # (P, C, chunk) int32
+    fused_starts_s: Optional[np.ndarray] = None  # (P, C) int32
+    fused_starts_r: Optional[np.ndarray] = None  # (P, C) int32
+    fused_band_s: int = 0
+    fused_band_r: int = 0
+    fused_chunk: int = 0
+    ext_nodes: int = 0
 
     @property
     def num_nodes_padded(self) -> int:
@@ -104,15 +115,29 @@ def partition_template(
     part_node_bucket: Optional[int] = None,
     part_edge_bucket: Optional[int] = None,
     bucket_multiple: int = 128,
+    spatial_order: bool = False,
 ) -> PartitionedTemplate:
-    """Partition an edge list (0-based, any order) into P stacked shards."""
+    """Partition an edge list (0-based, any order) into P stacked shards.
+
+    ``spatial_order``: order nodes *within* each part by a spatial sweep
+    (widest-axis lexsort, the partition analogue of ``data.prep``'s
+    ``spatial_reorder``) instead of original index — keeps the fused kernel's
+    sender/receiver bands narrow (:func:`add_fused_plans`)."""
     mesh_pos = np.asarray(mesh_pos, np.float32)
     node_type = np.asarray(node_type).reshape(-1).astype(np.int32)
     n = mesh_pos.shape[0]
     part = bisect_partition(mesh_pos, num_parts)
 
-    # reorder nodes: sort by (part, original index)
-    order = np.lexsort((np.arange(n), part))  # new position -> original id
+    # reorder nodes: sort by (part, original index | spatial sweep rank)
+    if spatial_order:
+        extent = mesh_pos.max(0) - mesh_pos.min(0)
+        axes_ = np.argsort(-extent)
+        sweep = np.lexsort(tuple(mesh_pos[:, a] for a in reversed(axes_)))
+        rank = np.empty(n, np.int64)
+        rank[sweep] = np.arange(n)
+        order = np.lexsort((rank, part))  # new position -> original id
+    else:
+        order = np.lexsort((np.arange(n), part))  # new position -> original id
     perm = np.empty(n, np.int64)
     perm[order] = np.arange(n)  # original id -> new position within global order
 
@@ -182,7 +207,8 @@ def add_halo_plan(pt: PartitionedTemplate,
                   halo_multiple: int = 8,
                   split_boundary: bool = True,
                   force_halo_size: Optional[int] = None,
-                  force_boundary_cap: Optional[int] = None) -> PartitionedTemplate:
+                  force_boundary_cap: Optional[int] = None,
+                  boundary_multiple: int = 128) -> PartitionedTemplate:
     """Precompute the boundary-halo exchange plan (host-side, once).
 
     For each ordered part pair (p, q) the plan records which of p's local node
@@ -198,6 +224,11 @@ def add_halo_plan(pt: PartitionedTemplate,
     §2.3 overlap engine).  Each group stays receiver-sorted with its own CSR
     offsets.  Skipped (with the plan still built) if the edge bucket cannot
     hold ``max_interior + max_boundary``.
+
+    ``boundary_multiple``: round the boundary-tail capacity up to this
+    multiple; pass the fused kernel's chunk size (512) so no edge chunk
+    straddles the interior/boundary groups (keeps :func:`add_fused_plans`
+    bands narrow — a straddling chunk mixes local and halo sender indices).
     """
     P, n_p = pt.num_parts, pt.part_nodes
     # requests[p][q] = sorted unique local-slots-of-q referenced by p's edges
@@ -259,7 +290,8 @@ def add_halo_plan(pt: PartitionedTemplate,
     e_p = pt.senders_global.shape[1]
     n_bnd = is_boundary.sum(1)
     n_int = pt.edge_mask.sum(1) - n_bnd
-    e_b = int(-(-int(n_bnd.max()) // 128) * 128) if n_bnd.max() else 0
+    bm = boundary_multiple
+    e_b = int(-(-int(n_bnd.max()) // bm) * bm) if n_bnd.max() else 0
     if force_boundary_cap is not None:
         if force_boundary_cap < e_b:
             raise ValueError(
@@ -305,3 +337,58 @@ def add_halo_plan(pt: PartitionedTemplate,
         mesh_edge_features=mef2, edge_mask=em2, boundary_start=bs,
         row_offsets_int=rows_i, row_offsets_bnd=rows_b,
         row_offsets=None)  # full-array CSR is invalidated by the reorder
+
+
+def add_fused_plans(pt: PartitionedTemplate,
+                    chunk: int = 512,
+                    max_band_s: int = 2048,
+                    max_band_r: int = 1024,
+                    force_band_s: Optional[int] = None,
+                    force_band_r: Optional[int] = None,
+                    ) -> PartitionedTemplate:
+    """Precompute per-part fused-kernel banding plans (host-side, once).
+
+    The graph-parallel round then runs entirely inside the fused Pallas
+    kernel (:mod:`mgn_tpu.ops.fused`) over the extended node table
+    ``[own local latents (N_p) ; received halo latents (P*H) ; pad]`` of
+    ``ext_nodes`` rows (128-multiple): sender indices are the halo plan's
+    extended-table indices, receivers are part-local.  Bands and chunk are
+    forced uniform across parts so every shard shares one static shape;
+    ``force_band_s``/``force_band_r`` additionally pin them across
+    trajectories (SPMD one-compile requirement — mirror of
+    ``force_halo_size``).
+
+    Requires :func:`add_halo_plan` to have run.  Returns ``pt`` unchanged
+    (plans stay ``None``) when any part's chunk bands exceed the caps —
+    callers fall back to the banded/XLA sharded path.  Partition with
+    ``spatial_order=True`` and ``add_halo_plan(boundary_multiple=chunk)``
+    for narrow bands.
+    """
+    if pt.senders_halo is None:
+        raise ValueError("add_fused_plans requires add_halo_plan first")
+    from mgn_tpu.ops.fused import build_fused_plan
+
+    P, n_p = pt.num_parts, pt.part_nodes
+    n_ext = -(-(n_p + P * pt.halo_size) // 128) * 128
+
+    def build(p, bs=None, br=None):
+        return build_fused_plan(pt.senders_halo[p], pt.receivers_local[p],
+                                n_ext, max_band_s, max_band_r, chunk,
+                                force_band_s=bs, force_band_r=br)
+
+    plans = [build(p) for p in range(P)]
+    if any(pl is None for pl in plans):
+        return pt
+    band_s = force_band_s or max(pl.band_s for pl in plans)
+    band_r = force_band_r or max(pl.band_r for pl in plans)
+    plans = [build(p, band_s, band_r) for p in range(P)]
+    if any(pl is None for pl in plans):
+        return pt  # forced band narrower than a part requires
+    return dataclasses.replace(
+        pt,
+        fused_rel_s=np.stack([np.asarray(pl.rel_s) for pl in plans]),
+        fused_rel_r=np.stack([np.asarray(pl.rel_r) for pl in plans]),
+        fused_starts_s=np.stack([np.asarray(pl.starts_s) for pl in plans]),
+        fused_starts_r=np.stack([np.asarray(pl.starts_r) for pl in plans]),
+        fused_band_s=band_s, fused_band_r=band_r,
+        fused_chunk=plans[0].chunk, ext_nodes=n_ext)

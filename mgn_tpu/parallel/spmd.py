@@ -74,6 +74,11 @@ class SpmdBatch:
     senders_halo: Any = None  # (B, P, E_p)
     row_offsets_int: Any = None  # (B, P, N_p+1)
     row_offsets_bnd: Any = None  # (B, P, N_p+1)
+    # fused-kernel banding plans (optional; banded/XLA fallback when absent)
+    fused_rel_s: Any = None  # (B, P, C, chunk)
+    fused_rel_r: Any = None  # (B, P, C, chunk)
+    fused_starts_s: Any = None  # (B, P, C)
+    fused_starts_r: Any = None  # (B, P, C)
 
     def tree(self) -> Dict[str, Any]:
         return {k: v for k, v in dataclasses.asdict(self).items()
@@ -85,11 +90,14 @@ def batch_from_partitioned(
     fields_list: list[Dict[str, np.ndarray]],  # per traj: {f: (T, N, dim)} UNpartitioned
     times_list: list[np.ndarray],
     frames: np.ndarray,
-) -> Tuple[SpmdBatch, Optional[int]]:
+) -> Tuple[SpmdBatch, Optional[int], Optional[Tuple[int, int, int, int]]]:
     """Stack partitioned trajectories into an SpmdBatch (host-side).
 
-    Returns ``(batch, boundary_start)`` — the static interior/boundary split
-    index shared by all trajectories' plans (None when any lacks it).
+    Returns ``(batch, boundary_start, fused_static)``: the static
+    interior/boundary split index shared by all trajectories' plans (None
+    when any lacks it), and the shared fused-plan statics
+    ``(band_s, band_r, chunk, ext_nodes)`` (None unless every trajectory
+    carries identical ones — force them via ``add_fused_plans``).
     """
 
     def stack(attr):
@@ -115,6 +123,18 @@ def batch_from_partitioned(
         raise ValueError("all trajectories must share one boundary_start "
                          "(use shared part buckets)")
 
+    has_fused = has_halo and all(p.fused_rel_s is not None
+                                 for p in ptemplates)
+    fused_static = None
+    if has_fused:
+        fused_static = (ptemplates[0].fused_band_s,
+                        ptemplates[0].fused_band_r,
+                        ptemplates[0].fused_chunk, ptemplates[0].ext_nodes)
+        if any((p.fused_band_s, p.fused_band_r, p.fused_chunk,
+                p.ext_nodes) != fused_static for p in ptemplates):
+            raise ValueError("all trajectories must share fused-plan bands "
+                             "(use add_fused_plans force_band_s/force_band_r)")
+
     return SpmdBatch(
         node_type_onehot=stack("node_type_onehot"),
         mesh_edge_features=stack("mesh_edge_features"),
@@ -130,7 +150,11 @@ def batch_from_partitioned(
         senders_halo=stack("senders_halo") if has_halo else None,
         row_offsets_int=stack("row_offsets_int") if has_split else None,
         row_offsets_bnd=stack("row_offsets_bnd") if has_split else None,
-    ), bs
+        fused_rel_s=stack("fused_rel_s") if has_fused else None,
+        fused_rel_r=stack("fused_rel_r") if has_fused else None,
+        fused_starts_s=stack("fused_starts_s") if has_fused else None,
+        fused_starts_r=stack("fused_starts_r") if has_fused else None,
+    ), bs, fused_static
 
 
 def _partition_frame(p: PartitionedTemplate, frame: np.ndarray) -> np.ndarray:
@@ -161,13 +185,17 @@ def make_spmd_derivative_step(
     types_noisy: Tuple[int, ...] = (0,),
     norm_steps: int = 0,
     boundary_start: Optional[int] = None,
+    fused_static: Optional[Tuple[int, int, int, int]] = None,
 ) -> Callable:
     """Build the jitted SPMD derivative-training step.
 
     Returns ``step(state, batch_tree, key) -> (state, loss)``; ``batch_tree``
     is ``SpmdBatch.tree()`` with arrays placed according to the mesh.
     ``boundary_start`` is the static interior/boundary split shared by every
-    trajectory's halo plan (from ``batch_from_partitioned``).
+    trajectory's halo plan (from ``batch_from_partitioned``);
+    ``fused_static = (band_s, band_r, chunk, ext_nodes)`` (same source)
+    routes each round through the fused Pallas kernel when the batch carries
+    banding plans and ``model_cfg.fused``.
     """
     axes = ("data", "graph")
 
@@ -220,11 +248,21 @@ def make_spmd_derivative_step(
         use_halo = "halo_serve" in batch
         use_split = use_halo and "row_offsets_int" in batch \
             and boundary_start is not None
+        use_fused = (use_halo and "fused_rel_s" in batch
+                     and fused_static is not None and model_cfg.fused)
 
         # --- loss over the local shard: vmap over the local batch ------------
         def per_traj_loss(params, args):
             (u_b, tgt_b, upd_m, n_m, e_m, mef, sg, rl, nto,
-             hs, sh, roi, rob) = args
+             hs, sh, roi, rob, frs, frr, fss, fsr) = args
+            plan, ext = None, 0
+            if use_fused:
+                from mgn_tpu.ops.fused import FusedPlan
+
+                band_s, band_r, chunk, ext = fused_static
+                plan = FusedPlan(rel_s=frs, rel_r=frr, starts_s=fss,
+                                 starts_r=fsr, band_s=band_s, band_r=band_r,
+                                 chunk=chunk)
             parts = [norm.node[f](u_b[f]) for f in spec.fields]
             parts.append(norm.node["node_type"](nto))
             nf = jnp.concatenate(parts, -1) * n_m[:, None]
@@ -237,6 +275,8 @@ def make_spmd_derivative_step(
                 boundary_start=boundary_start if use_split else None,
                 row_offsets_int=roi if use_split else None,
                 row_offsets_bnd=rob if use_split else None,
+                fused_plan=plan,
+                ext_nodes=ext,
             )
             target = jnp.concatenate(
                 [norm.output[f](tgt_b[f]) for f in spec.target_fields], -1)
@@ -252,6 +292,10 @@ def make_spmd_derivative_step(
             sq(batch["senders_halo"]) if use_halo else jnp.zeros((bl,)),
             sq(batch["row_offsets_int"]) if use_split else jnp.zeros((bl,)),
             sq(batch["row_offsets_bnd"]) if use_split else jnp.zeros((bl,)),
+            sq(batch["fused_rel_s"]) if use_fused else jnp.zeros((bl,)),
+            sq(batch["fused_rel_r"]) if use_fused else jnp.zeros((bl,)),
+            sq(batch["fused_starts_s"]) if use_fused else jnp.zeros((bl,)),
+            sq(batch["fused_starts_r"]) if use_fused else jnp.zeros((bl,)),
         )
 
         def loss_fn(params):
@@ -295,6 +339,10 @@ def make_spmd_derivative_step(
         "senders_halo": P(*axes),
         "row_offsets_int": P(*axes),
         "row_offsets_bnd": P(*axes),
+        "fused_rel_s": P(*axes),
+        "fused_rel_r": P(*axes),
+        "fused_starts_s": P(*axes),
+        "fused_starts_r": P(*axes),
     }
 
     def step(state, batch_tree, key):

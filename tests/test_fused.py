@@ -222,3 +222,76 @@ def test_fused_streaming_backward_matches_resident():
     for a, b in zip(jax.tree.leaves(g_str), jax.tree.leaves(g_res)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_return_edges_per_round_scan():
+    """``return_edges=True``: per-round fused calls threaded through a scan
+    (the graph-parallel pattern, parallel/halo.py) match the one-shot
+    multi-round kernel and the XLA reference — forward and gradients, with
+    both backward modes and the forced-streaming backward."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(11)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(0), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def per_round(p, v, e_, kernel_bwd):
+        def rnd(carry, bp):
+            v, e_ = carry
+            bp1 = jax.tree.map(lambda x: x[None], bp)
+            v, e_ = fused_process(bp1, v, e_, plan, sj, rj, ev, 1,
+                                  interpret=True, kernel_bwd=kernel_bwd,
+                                  return_edges=True)
+            return (v, e_), None
+
+        (v, e_), _ = jax.lax.scan(rnd, (v, e_), p)
+        return v, e_
+
+    ref_v, ref_e = process_rounds_xla(proc, v0, e0, sj, rj, ev, mps,
+                                      jnp.float32, n, return_edges=True)
+    out_v, out_e = per_round(proc, v0, e0, False)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients: both outputs carry cotangents (e feeds the loss directly)
+    def loss_ref(p, v, e_):
+        ov, oe = process_rounds_xla(p, v, e_, sj, rj, ev, mps, jnp.float32,
+                                    n, return_edges=True)
+        return jnp.sum(ov ** 2) + jnp.sum(oe ** 2)
+
+    def loss_pr(kernel_bwd):
+        def fn(p, v, e_):
+            ov, oe = per_round(p, v, e_, kernel_bwd)
+            return jnp.sum(ov ** 2) + jnp.sum(oe ** 2)
+
+        return fn
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(proc, v0, e0)
+    for kernel_bwd in (False, True):
+        gk = jax.grad(loss_pr(kernel_bwd), argnums=(0, 1, 2))(proc, v0, e0)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    # forced-streaming backward (the with_ge DMA-seeded de carry)
+    F._FORCE_STREAM = True
+    F._make_fused.cache_clear()
+    try:
+        gs = jax.grad(loss_pr(True), argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_STREAM = False
+        F._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

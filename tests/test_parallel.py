@@ -107,7 +107,7 @@ def test_spmd_derivative_step_runs():
                     aggregation_backend="xla")
     vel = make_trajectory(pos, nt, tl=6, dt=0.01, seed=0)
     times = np.arange(6, dtype=np.float32) * 0.01
-    batch, bs = batch_from_partitioned(
+    batch, bs, _ = batch_from_partitioned(
         [pt, pt], [{"velocity": vel}, {"velocity": vel}],
         [times, times], frames=np.array([0, 2]))
     assert bs is None  # no halo plan on this template
@@ -156,7 +156,7 @@ def test_spmd_step_halo_split_matches_allgather():
     params = init_mgn(jax.random.PRNGKey(0), cfg)
 
     def run(template, boundary_start):
-        batch, bs = batch_from_partitioned(
+        batch, bs, _ = batch_from_partitioned(
             [template, template], [{"velocity": vel}] * 2,
             [times, times], frames=np.array([1, 3]))
         assert bs == boundary_start
@@ -251,3 +251,90 @@ def test_train_network_graph_parallel(tmp_path):
         seed=0)
     assert int(state.step) == 6
     assert np.isfinite(best)
+
+
+def test_spmd_step_fused_matches_allgather():
+    """The fused-kernel SPMD training step (per-round fused Pallas rounds over
+    the extended [own; halo; pad] table, parallel/halo.py) computes the same
+    loss and gradients as the plain all-gather step — both backward modes."""
+    from mgn_tpu.parallel.partition import add_fused_plans, add_halo_plan
+
+    pos, cells, nt = make_channel_mesh(96, seed=1)
+    s, r = cells_to_edges(cells)
+    pt = partition_template(pos, nt, s, r, 4, part_node_bucket=64,
+                            part_edge_bucket=256, spatial_order=True)
+    ptf = add_fused_plans(add_halo_plan(pt, boundary_multiple=128), chunk=128)
+    assert ptf.fused_rel_s is not None  # plans actually built
+    meta_spec = FieldSpec(fields=("velocity",), target_fields=("velocity",),
+                          field_dims=(2,), target_dims=(2,))
+
+    def make_cfg(**kw):
+        return MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                         latent_size=16, hidden_layers=1,
+                         message_passing_steps=2,
+                         aggregation_backend="xla", **kw)
+
+    vel = make_trajectory(pos, nt, tl=6, dt=0.01, seed=0)
+    times = np.arange(6, dtype=np.float32) * 0.01
+    opt = optax.adam(1e-3)
+    params = init_mgn(jax.random.PRNGKey(0), make_cfg())
+
+    def run(template, cfg):
+        batch, bs, fused_static = batch_from_partitioned(
+            [template, template], [{"velocity": vel}] * 2,
+            [times, times], frames=np.array([1, 3]))
+        mesh = make_device_mesh(2, 4)
+        state = TrainState(
+            params=params, opt_state=opt.init(params),
+            norm=NormState(edge=N.Online.create(3),
+                           node={"velocity": N.Online.create(2),
+                                 "node_type": N.OfflineMinMax.create(0.0, 1.0)},
+                           output={"velocity": N.Online.create(2)}),
+            step=jnp.zeros((), jnp.int32))
+        step = make_spmd_derivative_step(mesh, cfg, meta_spec, opt,
+                                         noise_stddevs=(0.01,), norm_steps=0,
+                                         boundary_start=bs,
+                                         fused_static=fused_static)
+        st, loss = step(state, batch.tree(), jax.random.PRNGKey(7))
+        return float(loss), st.params
+
+    # reference: all-gather on the unplanned template (fused off)
+    loss_ag, p_ag = run(pt, make_cfg())
+    for kernel_bwd in (False, True):
+        loss_f, p_f = run(ptf, make_cfg(fused=True,
+                                        fused_backward=kernel_bwd))
+        assert np.isclose(loss_f, loss_ag, rtol=1e-4), (loss_f, loss_ag)
+        for a, b in zip(jax.tree.leaves(p_ag), jax.tree.leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_train_network_graph_parallel_fused(tmp_path, monkeypatch):
+    """train_network(graph_parallel=4, fused=True) routes every processor
+    round through the fused Pallas kernel (api probe -> add_fused_plans ->
+    spmd fused_static -> halo fused_round)."""
+    import optax
+
+    import mgn_tpu.ops.fused as F
+    from mgn_tpu import train_network
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    calls = []
+    real = F.fused_process
+
+    def spy(*a, **kw):
+        calls.append(kw.get("return_edges", False))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(F, "fused_process", spy)
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=96, tl=8, n_train=2, n_valid=1,
+                            n_test=1)
+    state, best = train_network(
+        0.01, optax.adam(1e-3), d, str(tmp_path / "cp"),
+        mps=1, layer_size=16, hidden_layers=1, norm_steps=1, steps=3,
+        checkpoint=4, batchsize=2, graph_parallel=4, solver_valid="euler",
+        fused=True, seed=0)
+    assert int(state.step) == 3
+    assert any(calls), "fused kernel was never traced in the SPMD step"
