@@ -108,6 +108,8 @@ def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
     est = n * latent * (b + 4)  # v scratch + f32 agg
     est += e * latent * b  # e scratch
     est += 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
+    # NOTE: the forward's optional pre-projection scratch is not counted —
+    # ops/fused disables pre-projection itself when it would not fit
     return est <= budget
 
 

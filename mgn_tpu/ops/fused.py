@@ -49,6 +49,7 @@ __all__ = ["FusedPlan", "build_fused_plan", "fused_process",
 
 _ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
 _FORCE_STREAM = False  # testing hook: force the streaming residual path
+_FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
@@ -161,14 +162,17 @@ def _mlp_slot_counts(proc: Dict[str, Any]) -> Tuple[int, int]:
 
 # --- the kernels -------------------------------------------------------------
 
-def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype):
+def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype,
+             extra_acc=None):
     """First layer computed from parts (no concat); then hidden+out+LN.
 
     Returns (out, cache) where cache holds the pre-activation intermediates
     needed by the hand-written backward (the bwd kernel recomputes forward
-    and consumes this cache)."""
+    and consumes this cache).  ``extra_acc``: optional f32 pre-computed
+    first-layer partial sum (the pre-projection path — gathered rows of
+    ``v @ W0_slice`` accumulated before the call)."""
     f32 = jnp.float32
-    acc = None
+    acc = extra_acc
     off = 0
     w0 = ws[0]
     for p, d in zip(h_parts, w0_splits):
@@ -267,7 +271,8 @@ def _dma(src, dst):
 def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                  cdtype, save_residuals: bool = False,
-                 stream_saves: bool = False, return_edges: bool = False):
+                 stream_saves: bool = False, return_edges: bool = False,
+                 preproject: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
@@ -276,6 +281,10 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
         weight_refs = refs[:n_weights]
         refs = refs[n_weights:]
+        ps_ref = qs_ref = None
+        if preproject:
+            ps_ref, qs_ref = refs[-2:]
+            refs = refs[:-2]
         eout_ref = None
         if return_edges:
             eout_ref = refs[1]
@@ -322,6 +331,22 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         agg_ref[:] = jnp.zeros((n, latent), f32)
 
+        if preproject:
+            # gathering commutes with the first-layer weight multiply:
+            # project v through the vs/vr row-slices of W0 ONCE per round
+            # (2 full (n,L)@(L,L) matmuls), then gather projected rows per
+            # chunk — deletes the per-chunk vs/vr first-layer partial
+            # matmuls (2 of the 3), ~16% of round FLOPs
+            # (docs/performance.md round-2 bisection).
+            w0 = ew[0]  # (3L, L): rows [0:L]=e_c, [L:2L]=vs, [2L:3L]=vr
+            v_all = v_ref[:]
+            ps_ref[:] = jax.lax.dot_general(
+                v_all, w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            qs_ref[:] = jax.lax.dot_general(
+                v_all, w0[2 * latent:3 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
         def edge_chunk(c, _):
             # starts are _ALIGN-aligned by plan construction; tell Mosaic
             ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
@@ -330,8 +355,9 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             rel_r = rel_r_ref[c]
             base = pl.multiple_of(c * chunk, chunk)
             e_c = e_ref[pl.ds(base, chunk), :]
-            v_band_s = v_ref[pl.ds(ss, band_s), :]
-            v_band_r = v_ref[pl.ds(sr, band_r), :]
+            if not preproject:
+                v_band_s = v_ref[pl.ds(ss, band_s), :]
+                v_band_r = v_ref[pl.ds(sr, band_r), :]
             if _PROBE == "const_oh":  # loop-invariant: build hoisted/CSE'd
                 oh_s = (jax.lax.broadcasted_iota(
                     jnp.int32, (band_s, chunk), 0) == 0).astype(cdtype)
@@ -344,9 +370,29 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 oh_r = (jax.lax.broadcasted_iota(
                     jnp.int32, (band_r, chunk), 0)
                         == rel_r[None, :]).astype(cdtype)
-            if _PROBE == "skip_gather":
+            if preproject:
+                if _PROBE == "skip_gather":
+                    extra = jnp.zeros((chunk, latent), f32)
+                else:
+                    p_band = ps_ref[pl.ds(ss, band_s), :]
+                    q_band = qs_ref[pl.ds(sr, band_r), :]
+                    extra = jax.lax.dot_general(  # gather of projected rows
+                        oh_s, p_band, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    extra = extra + jax.lax.dot_general(
+                        oh_r, q_band, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                if _PROBE == "skip_mlp":
+                    msg = extra.astype(cdtype)
+                else:
+                    msg, _ = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                      (latent,), cdtype, extra_acc=extra)
+            elif _PROBE == "skip_gather":
                 vs = e_c
                 vr = e_c
+                msg = vs if _PROBE == "skip_mlp" else _mlp_fwd(
+                    (e_c, vs, vr), ew, eb, eln_s, eln_b,
+                    (latent, latent, latent), cdtype)[0]
             else:
                 vs = jax.lax.dot_general(  # onehotᵀ @ band — gather
                     oh_s, v_band_s, (((0,), (0,)), ((), ())),
@@ -354,11 +400,11 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 vr = jax.lax.dot_general(
                     oh_r, v_band_r, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32).astype(cdtype)
-            if _PROBE == "skip_mlp":
-                msg = vs
-            else:
-                msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                                  (latent, latent, latent), cdtype)
+                if _PROBE == "skip_mlp":
+                    msg = vs
+                else:
+                    msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                      (latent, latent, latent), cdtype)
             e_ref[pl.ds(base, chunk), :] = e_c + msg
             if _PROBE != "skip_scatter":
                 contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
@@ -745,10 +791,25 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     cdtype = v0.dtype
     stream = save_residuals and (_FORCE_STREAM or not residuals_resident(
         n, e, latent, cdtype, n_extra_e=int(return_edges)))
+    # pre-project v through the vs/vr W0 slices once per round when the
+    # per-chunk first-layer savings (2·E·L²) beat the projection cost
+    # (2·N·L²) — i.e. whenever E ≥ N, which is every real mesh — and the
+    # two extra (N, L) f32 scratch buffers still fit VMEM alongside the
+    # forward's resident set
+    if _FORCE_PREPROJECT is not None:
+        preproject = _FORCE_PREPROJECT
+    else:
+        b = 2 if cdtype == jnp.bfloat16 else 4
+        resident = (n * latent * (b + 4) + e * latent * b
+                    + 2 * 2 * 9 * latent * latent * 4)
+        if save_residuals and not stream:
+            resident += 2 * (2 * n + e) * latent * b  # dbl-buffered windows
+        preproject = (e >= n
+                      and resident + 2 * n * latent * 4 <= (15 << 20))
     kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
                           n_layers_e, n_layers_n, mps, cdtype,
                           save_residuals=save_residuals, stream_saves=stream,
-                          return_edges=return_edges)
+                          return_edges=return_edges, preproject=preproject)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),  # v0 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.HBM),  # e0 stays in HBM
@@ -778,6 +839,9 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     ]
     if stream:
         scratch.append(pltpu.VMEM((n, latent), cdtype))  # agg cast staging
+    if preproject:
+        scratch += [pltpu.VMEM((n, latent), jnp.float32),  # v @ W0_vs
+                    pltpu.VMEM((n, latent), jnp.float32)]  # v @ W0_vr
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -295,3 +295,48 @@ def test_fused_return_edges_per_round_scan():
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("preproject", [False, True])
+def test_fused_preprojection_matches_xla(preproject):
+    """The forward pre-projection path (v @ W0_{vs,vr} hoisted out of the
+    chunk loop) matches the plain path and the XLA reference; gradients are
+    unaffected (the backward is an independent factorization)."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(21)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(3), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    ref = process_rounds_xla(proc, v0, e0, sj, rj, ev, mps, jnp.float32, n)
+
+    def loss(p, v, e_):
+        return jnp.sum(fused_process(p, v, e_, plan, sj, rj, ev, mps,
+                                     interpret=True, kernel_bwd=True) ** 2)
+
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+
+    F._FORCE_PREPROJECT = preproject
+    F._make_fused.cache_clear()
+    try:
+        out = fused_process(proc, v0, e0, plan, sj, rj, ev, mps,
+                            interpret=True)
+        g = jax.grad(loss, argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_PREPROJECT = None
+        F._make_fused.cache_clear()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
