@@ -52,7 +52,7 @@ class PreparedTrajectory:
 
 
 def common_buckets(
-    trajs, meta: Dict[str, Any], node_multiple: int = 128, edge_multiple: int = 512
+    trajs, meta: Dict[str, Any], node_multiple: int = 128, edge_multiple: int = 1024
 ) -> Tuple[int, int]:
     """Shared (node_bucket, edge_bucket) across trajectories to avoid
     per-trajectory recompiles (SURVEY.md §7.3 hard part 1)."""

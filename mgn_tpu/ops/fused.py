@@ -68,7 +68,7 @@ class FusedPlan(struct.PyTreeNode):
     starts_r: jax.Array  # (C,) int32, _ALIGN-aligned
     band_s: int = struct.field(pytree_node=False, default=0)
     band_r: int = struct.field(pytree_node=False, default=0)
-    chunk: int = struct.field(pytree_node=False, default=512)
+    chunk: int = struct.field(pytree_node=False, default=1024)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,7 +92,7 @@ def build_fused_plan(
     num_nodes: int,
     max_band_s: int = 2048,
     max_band_r: int = 1024,
-    chunk: int = 512,
+    chunk: int = 1024,
     force_band_s: Optional[int] = None,
     force_band_r: Optional[int] = None,
 ) -> Optional[FusedPlan]:
