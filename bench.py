@@ -73,7 +73,7 @@ def main():
     )
     row_offsets = template.row_offsets
 
-    iters = 100 if backend == "tpu" else 5
+    iters = 200 if backend == "tpu" else 5
 
     @jax.jit
     def loop(graph):
@@ -88,7 +88,7 @@ def main():
 
     loop(graph).node_features.block_until_ready()  # compile
     dt = float("inf")
-    for _ in range(3):  # best-of-3 against chip/tunnel noise
+    for _ in range(5):  # best-of-5 against chip/tunnel noise
         t0 = time.perf_counter()
         loop(graph).node_features.block_until_ready()
         dt = min(dt, (time.perf_counter() - t0) / iters)
