@@ -87,30 +87,16 @@ def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
 
 
 def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
-                     save_residuals: bool, budget: int = 16 << 20) -> bool:
-    """Host-side estimate of the fused kernel's VMEM footprint.
+                     kernel_bwd: bool) -> bool:
+    """Can the fused kernels (resident or HBM-streaming variants) run this
+    mesh?  Over-budget graphs silently take the unfused path instead of
+    dying in a Mosaic scoped-vmem OOM.  Delegates to
+    :func:`mgn_tpu.ops.fused.fused_fits`, which knows each variant's
+    resident footprint (edge latents stream from HBM on 10k-node-class
+    meshes; only the O(N·L) node-side state bounds the mesh size)."""
+    from mgn_tpu.ops.fused import fused_fits
 
-    The kernel keeps node/edge latents + the f32 aggregation buffer resident;
-    with ``fused_backward`` the forward also writes per-round residual output
-    windows.  Over-budget graphs silently take the unfused path instead of
-    dying in a Mosaic scoped-vmem OOM (auto-default safety; an HBM-streaming
-    kernel variant is the future fix for huge meshes).  Budget calibrated on
-    the measured cylinder-size cases: bf16 ± residuals and f32 forward fit;
-    f32 + residuals overflows (16.91 MB measured vs the 16 MB limit).
-    """
-    del save_residuals  # residuals stream from HBM when they don't fit
-    b = 2 if dtype == jnp.bfloat16 else 4
-    # v0/e0 inputs stay in HBM (DMA'd into scratch once) — only the scratch
-    # copies, the f32 aggregation buffer and the round weights are resident;
-    # residual saves and the backward's carries switch to the HBM-streaming
-    # kernels automatically when the resident variants would not fit
-    # (ops/fused.residuals_resident), so they do not bound the mesh size
-    est = n * latent * (b + 4)  # v scratch + f32 agg
-    est += e * latent * b  # e scratch
-    est += 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
-    # NOTE: the forward's optional pre-projection scratch is not counted —
-    # ops/fused disables pre-projection itself when it would not fit
-    return est <= budget
+    return fused_fits(n, e, latent, dtype, kernel_bwd=kernel_bwd)
 
 
 def apply_mgn(

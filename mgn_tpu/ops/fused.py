@@ -48,8 +48,10 @@ __all__ = ["FusedPlan", "build_fused_plan", "fused_process",
            "process_rounds_xla"]
 
 _ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
+_VMEM_BUDGET = 15 << 20  # usable scoped-vmem (calibrated round 2)
 _FORCE_STREAM = False  # testing hook: force the streaming residual path
 _FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
+_FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
@@ -441,6 +443,193 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     return kernel
 
 
+def _make_kernel_stream_e(n: int, e: int, latent: int, band_s: int,
+                          band_r: int, chunk: int, n_layers_e: int,
+                          n_layers_n: int, mps: int, cdtype,
+                          save_residuals: bool = False,
+                          preproject: bool = False):
+    """Edge-streaming forward for meshes whose edge latents do not fit VMEM.
+
+    Node latents / aggregation stay VMEM-resident (O(N·L)); the edge-latent
+    carry lives **inside the edge output buffer** (HBM) and is read-modify-
+    written per ``chunk`` with 2-slot prefetched reads and 2-slot deferred
+    writes (the protocol of :func:`_make_bwd_kernel_stream`).  Round 0 reads
+    chunks from the ``e0`` input; later rounds read the carry.  The resident
+    footprint is O(N·L + chunk·L), independent of E — this keeps the fused
+    round fast on 10k-node-class single-chip meshes that previously fell
+    back to the banded path (docs/performance.md).  ``save_residuals``
+    additionally streams per-round (v, e, agg) stacks to HBM for the
+    streaming backward kernel; the primal always returns ``(v, e)``.
+    """
+    chunks = e // chunk
+    f32 = jnp.float32
+    n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
+
+    def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
+               v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
+        weight_refs = refs[:n_weights]
+        refs = refs[n_weights:]
+        if save_residuals:
+            (vout_ref, ecarry_ref, vsave_ref, esave_ref, aggsave_ref) = \
+                refs[:5]
+            refs = refs[5:]
+        else:
+            vout_ref, ecarry_ref = refs[:2]
+            refs = refs[2:]
+        ps_ref = qs_ref = None
+        if preproject:
+            v_ref, agg_ref, ps_ref, qs_ref = refs[:4]
+            refs = refs[4:]
+        else:
+            v_ref, agg_ref = refs[:2]
+            refs = refs[2:]
+        if save_residuals:
+            ec_scr, eo_scr, aggc_scr, sem_e, sem_w, sem_s = refs
+        else:
+            ec_scr, eo_scr, sem_e, sem_w = refs
+
+        (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
+            weight_refs, n_layers_e, n_layers_n)
+
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _():
+            _dma(v0_ref, v_ref)  # v resident; e stays in HBM
+
+        if save_residuals:
+            _dma(v_ref, vsave_ref.at[r])  # start-of-round node latents
+
+        agg_ref[:] = jnp.zeros((n, latent), f32)
+
+        if preproject:
+            w0 = ew[0]
+            v_all = v_ref[:]
+            ps_ref[:] = jax.lax.dot_general(
+                v_all, w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            qs_ref[:] = jax.lax.dot_general(
+                v_all, w0[2 * latent:3 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        def read0(slot, c):  # round 0: chunks come from the e0 input
+            return pltpu.make_async_copy(
+                e0_ref.at[pl.ds(c * chunk, chunk)],
+                ec_scr.at[slot], sem_e.at[slot])
+
+        def readc(slot, c):  # later rounds: read the HBM carry
+            return pltpu.make_async_copy(
+                ecarry_ref.at[pl.ds(c * chunk, chunk)],
+                ec_scr.at[slot], sem_e.at[slot])
+
+        def start_read(slot, c):
+            @pl.when(r == 0)
+            def _():
+                read0(slot, c).start()
+
+            @pl.when(r > 0)
+            def _():
+                readc(slot, c).start()
+
+        def write_eo(slot, c):
+            return pltpu.make_async_copy(
+                eo_scr.at[slot],
+                ecarry_ref.at[pl.ds(c * chunk, chunk)], sem_w.at[slot])
+
+        def save_e(slot, c):
+            return pltpu.make_async_copy(
+                ec_scr.at[slot],
+                esave_ref.at[r, pl.ds(c * chunk, chunk)], sem_s.at[slot])
+
+        start_read(0, 0)
+
+        def chunk_body(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < chunks)
+            def _():
+                # the (c+1) slot was last used by chunk c-1: its save DMA
+                # (reading ec_scr) must land before the read overwrites it
+                if save_residuals:
+                    @pl.when(c >= 1)
+                    def _():
+                        save_e((c + 1) % 2, c - 1).wait()
+
+                start_read((c + 1) % 2, c + 1)
+
+            readc(slot, c).wait()
+            e_c = ec_scr[slot]
+            if save_residuals:
+                save_e(slot, c).start()
+
+            ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
+            sr = pl.multiple_of(starts_r_ref[c], _ALIGN)
+            rel_s = rel_s_ref[c]
+            rel_r = rel_r_ref[c]
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
+                    == rel_s[None, :]).astype(cdtype)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
+                    == rel_r[None, :]).astype(cdtype)
+            if preproject:
+                extra = jax.lax.dot_general(
+                    oh_s, ps_ref[pl.ds(ss, band_s), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                extra = extra + jax.lax.dot_general(
+                    oh_r, qs_ref[pl.ds(sr, band_r), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                msg, _ = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                  (latent,), cdtype, extra_acc=extra)
+            else:
+                vs = jax.lax.dot_general(
+                    oh_s, v_ref[pl.ds(ss, band_s), :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                vr = jax.lax.dot_general(
+                    oh_r, v_ref[pl.ds(sr, band_r), :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                  (latent, latent, latent), cdtype)
+
+            @pl.when(c >= 2)  # slot reused: prior write must have landed
+            def _():
+                write_eo(slot, c - 2).wait()
+
+            eo_scr[slot] = e_c + msg
+            write_eo(slot, c).start()
+            contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
+                oh_r, msg, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            agg_ref[pl.ds(sr, band_r), :] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, chunks, chunk_body, 0)
+        # drain outstanding carry writes (next round reads them) and saves
+        for c in range(max(chunks - 2, 0), chunks):
+            write_eo(c % 2, c).wait()
+            if save_residuals:
+                save_e(c % 2, c).wait()
+
+        if save_residuals:
+            aggc_scr[:] = agg_ref[:].astype(cdtype)
+            _dma(aggc_scr, aggsave_ref.at[r])
+
+        node_blk = _node_block(n)
+        for b in range(n // node_blk):
+            sl = pl.ds(b * node_blk, node_blk)
+            v_c = v_ref[sl, :]
+            agg_c = agg_ref[sl, :].astype(cdtype)
+            upd, _ = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
+                              (latent, latent), cdtype)
+            v_ref[sl, :] = v_c + upd
+
+        @pl.when(r == mps - 1)
+        def _():
+            vout_ref[:] = v_ref[:]
+
+    return kernel
+
+
 def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                      cdtype, with_ge: bool = False):
@@ -768,6 +957,30 @@ def residuals_resident(n: int, e: int, latent: int, dtype,
     return est <= budget
 
 
+def fused_fits(n: int, e: int, latent: int, dtype,
+               kernel_bwd: bool = False,
+               budget: int = _VMEM_BUDGET) -> bool:
+    """Host-side guard: can the fused kernels run this mesh — via the
+    VMEM-resident or HBM-streaming variants — without a Mosaic scoped-vmem
+    OOM?  Used by :func:`mgn_tpu.models.mgn.apply_mgn` to decide whether the
+    ``cfg.fused`` request is honoured or silently falls back to the unfused
+    path.  ``kernel_bwd``: also require the native reverse-round backward to
+    fit (its streaming variant keeps four (N, L)-class carries resident)."""
+    b = 2 if dtype == jnp.bfloat16 else 4
+    w = 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
+    slack = 2 << 20  # chunk slot buffers + staging headroom
+    fwd_resident = n * latent * (b + 4) + e * latent * b + w
+    fwd_stream = n * latent * (b + 4) + w + slack
+    if min(fwd_resident, fwd_stream) > budget:
+        return False
+    if not kernel_bwd:
+        return True
+    if residuals_resident(n, e, latent, dtype, budget):
+        return True
+    bwd_stream = n * latent * (3 * b + 4) + 2 * w + slack
+    return bwd_stream <= budget
+
+
 def _full_spec(shape):
     return pl.BlockSpec(shape, lambda g, *_: (0,) * len(shape),
                         memory_space=pltpu.VMEM)
@@ -789,8 +1002,19 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
-    stream = save_residuals and (_FORCE_STREAM or not residuals_resident(
-        n, e, latent, cdtype, n_extra_e=int(return_edges)))
+    b = 2 if cdtype == jnp.bfloat16 else 4
+    weights_b = 2 * 2 * 9 * latent * latent * 4
+    # edge latents stream from HBM (read-modify-write carry) when the
+    # resident (E, L) buffer would blow VMEM — keeps the fused round on
+    # 10k-node-class meshes that previously fell back to the banded path
+    if _FORCE_STREAM_EDGES is not None:
+        stream_e = bool(_FORCE_STREAM_EDGES)
+    else:
+        stream_e = (n * latent * (b + 4) + e * latent * b
+                    + weights_b) > _VMEM_BUDGET
+    stream = save_residuals and (
+        stream_e or _FORCE_STREAM or not residuals_resident(
+            n, e, latent, cdtype, n_extra_e=int(return_edges)))
     # pre-project v through the vs/vr W0 slices once per round when the
     # per-chunk first-layer savings (2·E·L²) beat the projection cost
     # (2·N·L²) — i.e. whenever E ≥ N, which is every real mesh — and the
@@ -799,49 +1023,82 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     if _FORCE_PREPROJECT is not None:
         preproject = _FORCE_PREPROJECT
     else:
-        b = 2 if cdtype == jnp.bfloat16 else 4
-        resident = (n * latent * (b + 4) + e * latent * b
-                    + 2 * 2 * 9 * latent * latent * 4)
-        if save_residuals and not stream:
-            resident += 2 * (2 * n + e) * latent * b  # dbl-buffered windows
+        resident = n * latent * (b + 4) + weights_b
+        if not stream_e:
+            resident += e * latent * b
+            if save_residuals and not stream:
+                resident += 2 * (2 * n + e) * latent * b  # dbl-buf windows
+        else:
+            resident += 4 * plan.chunk * latent * b  # carry slot buffers
         preproject = (e >= n
-                      and resident + 2 * n * latent * 4 <= (15 << 20))
-    kernel = _make_kernel(n, e, latent, plan.band_s, plan.band_r, plan.chunk,
-                          n_layers_e, n_layers_n, mps, cdtype,
-                          save_residuals=save_residuals, stream_saves=stream,
-                          return_edges=return_edges, preproject=preproject)
+                      and resident + 2 * n * latent * 4 <= _VMEM_BUDGET)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),  # v0 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.HBM),  # e0 stays in HBM
                 _full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape)]
     in_specs += [_per_round_spec(w.shape[1:], mps) for w in proc_leaves]
 
-    out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
-    out_specs = [_full_spec((n, latent))]
-    if return_edges:
-        out_shape.append(jax.ShapeDtypeStruct((e, latent), cdtype))
-        out_specs.append(_full_spec((e, latent)))
-    if save_residuals:
-        out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
-                      jax.ShapeDtypeStruct((mps, e, latent), cdtype),
-                      jax.ShapeDtypeStruct((mps, n, latent), cdtype)]
-        if stream:
+    if stream_e:
+        kernel = _make_kernel_stream_e(
+            n, e, latent, plan.band_s, plan.band_r, plan.chunk,
+            n_layers_e, n_layers_n, mps, cdtype,
+            save_residuals=save_residuals, preproject=preproject)
+        # outputs: v (VMEM), e carry (HBM) [, streamed residual stacks]
+        out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype),
+                     jax.ShapeDtypeStruct((e, latent), cdtype)]
+        out_specs = [_full_spec((n, latent)),
+                     pl.BlockSpec(memory_space=pltpu.HBM)]
+        if save_residuals:
+            out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
+                          jax.ShapeDtypeStruct((mps, e, latent), cdtype),
+                          jax.ShapeDtypeStruct((mps, n, latent), cdtype)]
             out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
-        else:
-            out_specs += [_per_round_spec((n, latent), mps),
-                          _per_round_spec((e, latent), mps),
-                          _per_round_spec((n, latent), mps)]
+        scratch = [pltpu.VMEM((n, latent), cdtype),  # v
+                   pltpu.VMEM((n, latent), jnp.float32)]  # agg
+        if preproject:
+            scratch += [pltpu.VMEM((n, latent), jnp.float32),
+                        pltpu.VMEM((n, latent), jnp.float32)]
+        scratch += [pltpu.VMEM((2, plan.chunk, latent), cdtype),  # ec_scr
+                    pltpu.VMEM((2, plan.chunk, latent), cdtype)]  # eo_scr
+        if save_residuals:
+            scratch.append(pltpu.VMEM((n, latent), cdtype))  # aggc staging
+        scratch += [pltpu.SemaphoreType.DMA((2,)),  # sem_e
+                    pltpu.SemaphoreType.DMA((2,))]  # sem_w
+        if save_residuals:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_s
+    else:
+        kernel = _make_kernel(
+            n, e, latent, plan.band_s, plan.band_r, plan.chunk,
+            n_layers_e, n_layers_n, mps, cdtype,
+            save_residuals=save_residuals, stream_saves=stream,
+            return_edges=return_edges, preproject=preproject)
 
-    scratch = [
-        pltpu.VMEM((n, latent), cdtype),
-        pltpu.VMEM((e, latent), cdtype),
-        pltpu.VMEM((n, latent), jnp.float32),
-    ]
-    if stream:
-        scratch.append(pltpu.VMEM((n, latent), cdtype))  # agg cast staging
-    if preproject:
-        scratch += [pltpu.VMEM((n, latent), jnp.float32),  # v @ W0_vs
-                    pltpu.VMEM((n, latent), jnp.float32)]  # v @ W0_vr
+        out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
+        out_specs = [_full_spec((n, latent))]
+        if return_edges:
+            out_shape.append(jax.ShapeDtypeStruct((e, latent), cdtype))
+            out_specs.append(_full_spec((e, latent)))
+        if save_residuals:
+            out_shape += [jax.ShapeDtypeStruct((mps, n, latent), cdtype),
+                          jax.ShapeDtypeStruct((mps, e, latent), cdtype),
+                          jax.ShapeDtypeStruct((mps, n, latent), cdtype)]
+            if stream:
+                out_specs += [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+            else:
+                out_specs += [_per_round_spec((n, latent), mps),
+                              _per_round_spec((e, latent), mps),
+                              _per_round_spec((n, latent), mps)]
+
+        scratch = [
+            pltpu.VMEM((n, latent), cdtype),
+            pltpu.VMEM((e, latent), cdtype),
+            pltpu.VMEM((n, latent), jnp.float32),
+        ]
+        if stream:
+            scratch.append(pltpu.VMEM((n, latent), cdtype))  # agg staging
+        if preproject:
+            scratch += [pltpu.VMEM((n, latent), jnp.float32),  # v @ W0_vs
+                        pltpu.VMEM((n, latent), jnp.float32)]  # v @ W0_vr
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -857,6 +1114,11 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         interpret=interpret,
     )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
       *proc_leaves)
+    if stream_e:
+        # the e carry output doubles as the return_edges output; drop it
+        # for callers that did not ask for edge latents
+        res = [out[0]] + ([out[1]] if return_edges else []) + list(out[2:])
+        return tuple(res) if len(res) > 1 else res[0]
     if save_residuals or return_edges:
         return tuple(out)
     return out[0]

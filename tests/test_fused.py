@@ -340,3 +340,67 @@ def test_fused_preprojection_matches_xla(preproject):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_fused_stream_edges_matches_resident():
+    """The edge-streaming forward (HBM read-modify-write carry, big-mesh
+    path) matches the VMEM-resident kernel and the XLA reference — forward,
+    return_edges, and gradients through both backward modes."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(31)
+    n, e, latent, mps = 256, 1024, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n, chunk=256)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(4), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    ref_v, ref_e = process_rounds_xla(proc, v0, e0, sj, rj, ev, mps,
+                                      jnp.float32, n, return_edges=True)
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+
+    F._FORCE_STREAM_EDGES = True
+    F._make_fused.cache_clear()
+    try:
+        out_v = fused_process(proc, v0, e0, plan, sj, rj, ev, mps,
+                              interpret=True)
+        out_v2, out_e = fused_process(proc, v0, e0, plan, sj, rj, ev, mps,
+                                      interpret=True, return_edges=True)
+        grads = {}
+        for kernel_bwd in (False, True):
+            grads[kernel_bwd] = jax.grad(
+                lambda p, v, e_: jnp.sum(fused_process(
+                    p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+                    kernel_bwd=kernel_bwd) ** 2),
+                argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_STREAM_EDGES = None
+        F._make_fused.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_v2), np.asarray(ref_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                               rtol=2e-5, atol=2e-5)
+    for kernel_bwd in (False, True):
+        for a, b in zip(jax.tree.leaves(grads[kernel_bwd]),
+                        jax.tree.leaves(gref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+
+def test_fused_fits_guard():
+    from mgn_tpu.ops.fused import fused_fits
+
+    # 10k-node class: edge-streaming forward keeps the fused path available
+    assert fused_fits(10240, 59392, 128, jnp.bfloat16, kernel_bwd=False)
+    # 20k nodes: node-side state alone blows VMEM even streamed
+    assert not fused_fits(20480, 121856, 128, jnp.bfloat16, kernel_bwd=False)
