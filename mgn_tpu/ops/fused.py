@@ -674,7 +674,12 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         # ---- node stage backward (blocked rows) ------------------------------
         i = n_layers_e * 2 + 2
         node_blk = _node_block(n)
-        for b in range(n // node_blk):
+        if _PROBE == "bwd_skip_node":  # timing-only: zero node-stage work
+            dagg_ref[:] = jnp.zeros((n, latent), f32)
+            for k in range(n_layers_n * 2 + 2):
+                grad_refs[i + k][0] = jnp.zeros(
+                    grad_refs[i + k].shape[1:], f32)
+        for b in range(n // node_blk if _PROBE != "bwd_skip_node" else 0):
             sl = pl.ds(b * node_blk, node_blk)
             v_c = vsave_ref[0, sl, :]  # start-of-round latents
             agg_c = aggsave_ref[0, sl, :]
@@ -711,38 +716,58 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                     == rel_s[None, :]).astype(cdtype)
             oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
                     == rel_r[None, :]).astype(cdtype)
-            vs = jax.lax.dot_general(
-                oh_s, vsave_ref[0, pl.ds(ss, band_s), :],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            vr = jax.lax.dot_general(
-                oh_r, vsave_ref[0, pl.ds(sr, band_r), :],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                                  (latent, latent, latent), cdtype)
+            if _PROBE == "bwd_skip_recompute":
+                # timing-only: fake the recompute cache (wrong numerics);
+                # pre/post stay f32 like the real path (bf16 cmpf rejected)
+                vs = vr = e_c
+                e32 = e_c.astype(f32)
+                cache_e = ([e32] * n_layers_e, [e32] * (n_layers_e - 1),
+                           e32, jnp.ones((chunk, 1), f32))
+            else:
+                if _PROBE == "bwd_skip_gather":
+                    vs = vr = e_c  # timing-only: no gather matmuls
+                else:
+                    vs = jax.lax.dot_general(
+                        oh_s, vsave_ref[0, pl.ds(ss, band_s), :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32).astype(cdtype)
+                    vr = jax.lax.dot_general(
+                        oh_r, vsave_ref[0, pl.ds(sr, band_r), :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32).astype(cdtype)
+                _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                      (latent, latent, latent), cdtype)
             # dmsg = de' (residual) + gather of dagg (scatter-add adjoint)
             de_c = de_ref[pl.ds(base, chunk), :]
-            dmsg = de_c + jax.lax.dot_general(
-                oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
-                dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
-                (latent, latent, latent), cdtype)
-            de_ref[pl.ds(base, chunk), :] = de_c + de_p
-            # gather adjoints: scatter dvs/dvr back into the dv bands
-            dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
-                oh_s, dvs, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
-                oh_r, dvr, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            for k in range(n_layers_e):
-                grad_refs[k][0] += dew[k]
-                grad_refs[n_layers_e + k][0] += deb[k]
-            grad_refs[2 * n_layers_e][0] += dge
-            grad_refs[2 * n_layers_e + 1][0] += dbe
+            if _PROBE == "bwd_skip_dflow":
+                dmsg = de_c  # timing-only: no dagg gather
+            else:
+                dmsg = de_c + jax.lax.dot_general(
+                    oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+            if _PROBE == "bwd_skip_mlpbwd":
+                de_p, dvs, dvr = dmsg, dmsg, dmsg  # timing-only
+                dew = deb = None
+            else:
+                (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
+                    dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
+                    (latent, latent, latent), cdtype)
+            if _PROBE != "bwd_skip_dflow":
+                de_ref[pl.ds(base, chunk), :] = de_c + de_p
+                # gather adjoints: scatter dvs/dvr back into the dv bands
+                dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                    oh_s, dvs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                    oh_r, dvr, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+            if dew is not None and _PROBE != "bwd_skip_wgrads":
+                for k in range(n_layers_e):
+                    grad_refs[k][0] += dew[k]
+                    grad_refs[n_layers_e + k][0] += deb[k]
+                grad_refs[2 * n_layers_e][0] += dge
+                grad_refs[2 * n_layers_e + 1][0] += dbe
             return 0
 
         jax.lax.fori_loop(0, chunks, edge_chunk_bwd, 0, unroll=True)
