@@ -64,8 +64,9 @@ def main():
           f"chunks={plan.rel_s.shape[0]} chunk={plan.chunk}", flush=True)
     iters = 100
 
-    def bench(name, probe=None, fwd_only=False):
+    def bench(name, probe=None, fwd_only=False, vmem_limit=None):
         F._PROBE = probe
+        F._VMEM_LIMIT = vmem_limit
         F._make_fused.cache_clear()
 
         if fwd_only:
@@ -86,13 +87,21 @@ def main():
                     return v + 0.0 * grad(v, e0)
                 return jax.lax.fori_loop(0, iters, body, v0)
 
-        loop(v0, e0).block_until_ready()
+        try:
+            loop(v0, e0).block_until_ready()
+        except Exception as ex:  # e.g. scoped-vmem OOM on a probe variant
+            F._PROBE = None
+            F._make_fused.cache_clear()
+            F._VMEM_LIMIT = None
+            print(f"{name}: FAILED ({type(ex).__name__})", flush=True)
+            return None
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             loop(v0, e0).block_until_ready()
             best = min(best, (time.perf_counter() - t0) / iters)
         F._PROBE = None
+        F._VMEM_LIMIT = None
         F._make_fused.cache_clear()
         print(f"{name}: {best*1e3:.3f} ms", flush=True)
         return best
@@ -103,7 +112,7 @@ def main():
     t_gath = bench("bwd_skip_gather (no vs/vr recompute gathers)",
                    "bwd_skip_gather")
     t_rec = bench("bwd_skip_recompute (no gathers, no MLP recompute)",
-                  "bwd_skip_recompute")
+                  "bwd_skip_recompute", vmem_limit=32 << 20)
     t_mlpb = bench("bwd_skip_mlpbwd (no adjoint MLP matmuls)",
                    "bwd_skip_mlpbwd")
     t_wg = bench("bwd_skip_wgrads (no weight-grad accumulation)",
@@ -119,8 +128,15 @@ def main():
                     ("adjoint MLP matmuls", t_mlpb),
                     ("weight-grad accumulation", t_wg),
                     ("cotangent flow (dagg+scatters)", t_df)]:
+        if t is None:
+            print(f"{name}: (variant failed)", flush=True)
+            continue
         print(f"{name}: {(t_base-t)*1e3:.3f} ms "
               f"({100*(t_base-t)/tb:.0f}% of bwd)", flush=True)
+
+    # sanity: does a raised Mosaic scoped-vmem cap change the real kernel?
+    bench("baseline with vmem_limit=32MB", vmem_limit=32 << 20)
+    bench("baseline with vmem_limit=100MB", vmem_limit=100 << 20)
 
 
 if __name__ == "__main__":

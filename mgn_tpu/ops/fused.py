@@ -48,10 +48,35 @@ __all__ = ["FusedPlan", "build_fused_plan", "fused_process",
            "process_rounds_xla"]
 
 _ALIGN = 32  # band starts aligned for f32(8)/bf16(16) sublane tiles
-_VMEM_BUDGET = 15 << 20  # usable scoped-vmem (calibrated round 2)
+# Mosaic's default scoped-vmem cap is 16 MB but v5e/v5p cores carry 128 MB of
+# VMEM; the kernels request a higher cap (measured: a raised cap alone costs
+# nothing, benchmarks/probe_bwd_tpu.py) so the resident variants keep paying
+# off on larger meshes.  _VMEM_BUDGET drives host-side resident-vs-streaming
+# selection and stays below _VMEM_LIMIT by the compiler's own headroom
+# (one-hot/MLP temporaries, scalar windows).
+_VMEM_BUDGET = 56 << 20
+_VMEM_LIMIT = 64 << 20
+
+
+def set_vmem_budget(budget: int, limit: Optional[int] = None) -> None:
+    """Adjust the host-side VMEM planning budget (drives resident-vs-stream
+    selection in :func:`fused_fits` / :func:`residuals_resident`) and the
+    Mosaic scoped-vmem cap requested by the kernels (``limit``, defaults to
+    ``budget`` + 4 MB of compiler headroom)."""
+    global _VMEM_BUDGET, _VMEM_LIMIT
+    _VMEM_BUDGET = int(budget)
+    _VMEM_LIMIT = int(limit) if limit is not None else int(budget) + (4 << 20)
+    _make_fused.cache_clear()
+
+
+def _compiler_params():
+    if _VMEM_LIMIT is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(_VMEM_LIMIT))
 _FORCE_STREAM = False  # testing hook: force the streaming residual path
 _FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
 _FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
+_FORCE_DEFER = None  # testing hook: pin the deferred first-layer backward
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
@@ -205,8 +230,12 @@ def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype,
 def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
     """Backward of :func:`_mlp_fwd`.
 
-    Returns (dparts, dws, dbs, dln_scale, dln_bias); dws/dbs are f32,
-    dparts are ``cdtype`` (matching JAX's cotangent dtype semantics)."""
+    Returns (dparts, dws, dbs, dln_scale, dln_bias, dh0); dws/dbs are f32,
+    dparts are ``cdtype`` (matching JAX's cotangent dtype semantics).
+    ``dh0`` is the first-layer pre-activation cotangent — the deferred
+    first-layer backward scatters it into node-space accumulators instead of
+    materialising per-part input cotangents (in which case ``h_parts`` /
+    ``w0_splits`` carry only the non-deferred leading parts)."""
     f32 = jnp.float32
     pre, post, xhat, rstd = cache
     dy = dout.astype(f32)
@@ -241,7 +270,7 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
             preferred_element_type=f32).astype(cdtype))
         off += d
     dw0 = jnp.concatenate(dw0_rows, axis=0)
-    return dparts, [dw0] + dws[1:], dbs, dgamma, dbeta
+    return dparts, [dw0] + dws[1:], dbs, dgamma, dbeta, dh32
 
 
 def _unpack_weight_refs(refs, n_layers_e, n_layers_n):
@@ -632,7 +661,8 @@ def _make_kernel_stream_e(n: int, e: int, latent: int, band_s: int,
 
 def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
-                     cdtype, with_ge: bool = False):
+                     cdtype, with_ge: bool = False,
+                     defer_first: bool = False):
     """Reverse-round backward: grid step g processes round mps-1-g.
 
     Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
@@ -641,6 +671,17 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     cotangent dtype for a ``cdtype`` primal); weight grads are f32.
     ``with_ge``: an incoming edge-latent cotangent seeds the ``de`` carry
     (the ``return_edges`` forward).
+
+    ``defer_first``: the deferred first-layer backward.  Per chunk, instead
+    of materialising ``dvs``/``dvr`` (2 matmuls), scattering each (2) and
+    accumulating their ``dW0`` rows (2), the raw first-layer cotangent
+    ``dh0`` is scattered once per side into f32 node-space accumulators
+    ``G_s``/``G_r``; at end of round ``dv += G @ W0_sliceᵀ`` and
+    ``dW0_slice = v_savedᵀ @ G`` recover the same quantities with 4
+    (N, L)-class matmuls per round — moving 4·E·L² FLOPs/round down to
+    4·N·L² and shortening the serial per-chunk chain.  The recompute is
+    pre-projected through the same W0 slices (mirrors the forward's
+    ``preproject``), so ``vs``/``vr`` are never materialised at all.
     """
     chunks = e // chunk
     f32 = jnp.float32
@@ -656,7 +697,11 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
-        dv_ref, de_ref, dagg_ref = refs[n_weights * 2 + 2:]
+        if defer_first:
+            (dv_ref, de_ref, dagg_ref, ps_ref, qs_ref, gs_ref,
+             gr_ref) = refs[n_weights * 2 + 2:]
+        else:
+            dv_ref, de_ref, dagg_ref = refs[n_weights * 2 + 2:]
 
         (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
             weight_refs, n_layers_e, n_layers_n)
@@ -686,7 +731,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             upd, cache_n = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
                                     (latent, latent), cdtype)
             dupd = dv_ref[sl, :]  # v' = v + upd  =>  d upd = dv'
-            (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
+            (dv_p, dagg_p), dnw, dnb, dgn, dbn, _ = _mlp_bwd(
                 dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
                 cdtype)
             dv_ref[sl, :] = dv_ref[sl, :] + dv_p
@@ -704,6 +749,65 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         for k in range(n_layers_e * 2 + 2):
             zeros_like_ref(grad_refs[k])
+
+        if defer_first:
+            # pre-project saved node latents through the vs/vr W0 row-slices
+            # (mirrors the forward preproject) and zero the G accumulators
+            w0 = ew[0]
+            v_all = vsave_ref[0]
+            ps_ref[:] = jax.lax.dot_general(
+                v_all, w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            qs_ref[:] = jax.lax.dot_general(
+                v_all, w0[2 * latent:3 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gs_ref[:] = jnp.zeros((n, latent), f32)
+            gr_ref[:] = jnp.zeros((n, latent), f32)
+
+        def edge_chunk_deferred(c, _):
+            ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
+            sr = pl.multiple_of(starts_r_ref[c], _ALIGN)
+            rel_s = rel_s_ref[c]
+            rel_r = rel_r_ref[c]
+            base = pl.multiple_of(c * chunk, chunk)
+            e_c = esave_ref[0, pl.ds(base, chunk), :]
+            oh_s = (jax.lax.broadcasted_iota(jnp.int32, (band_s, chunk), 0)
+                    == rel_s[None, :]).astype(cdtype)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
+                    == rel_r[None, :]).astype(cdtype)
+            extra = jax.lax.dot_general(  # gather of pre-projected rows
+                oh_s, ps_ref[pl.ds(ss, band_s), :], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            extra = extra + jax.lax.dot_general(
+                oh_r, qs_ref[pl.ds(sr, band_r), :], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            _, cache_e = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                  (latent,), cdtype, extra_acc=extra)
+            de_c = de_ref[pl.ds(base, chunk), :]
+            dmsg = de_c + jax.lax.dot_general(
+                oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+            (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
+                dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype)
+            de_ref[pl.ds(base, chunk), :] = de_c + de_p
+            # scatter dh0 into node space (f32 accumulators); dv and dW0's
+            # vs/vr rows are recovered once per round after the loop
+            dh0c = dh0.astype(cdtype)
+            gs_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                oh_s, dh0c, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gr_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                oh_r, dh0c, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            grad_refs[0][0, 0:latent, :] += dew[0]
+            for k in range(1, n_layers_e):
+                grad_refs[k][0] += dew[k]
+            for k in range(n_layers_e):
+                grad_refs[n_layers_e + k][0] += deb[k]
+            grad_refs[2 * n_layers_e][0] += dge
+            grad_refs[2 * n_layers_e + 1][0] += dbe
+            return 0
 
         def edge_chunk_bwd(c, _):
             ss = pl.multiple_of(starts_s_ref[c], _ALIGN)
@@ -750,7 +854,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 de_p, dvs, dvr = dmsg, dmsg, dmsg  # timing-only
                 dew = deb = None
             else:
-                (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
+                (de_p, dvs, dvr), dew, deb, dge, dbe, _ = _mlp_bwd(
                     dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
                     (latent, latent, latent), cdtype)
             if _PROBE != "bwd_skip_dflow":
@@ -770,7 +874,27 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 grad_refs[2 * n_layers_e + 1][0] += dbe
             return 0
 
-        jax.lax.fori_loop(0, chunks, edge_chunk_bwd, 0, unroll=True)
+        jax.lax.fori_loop(0, chunks,
+                          edge_chunk_deferred if defer_first
+                          else edge_chunk_bwd, 0, unroll=True)
+
+        if defer_first:
+            # deferred first-layer: dv += G_s @ W0_vsᵀ + G_r @ W0_vrᵀ;
+            # dW0 vs/vr rows = v_savedᵀ @ G (4 (N,L)-class matmuls/round)
+            w0 = ew[0]
+            dv_f = jax.lax.dot_general(
+                gs_ref[:], w0[latent:2 * latent, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dv_f = dv_f + jax.lax.dot_general(
+                gr_ref[:], w0[2 * latent:3 * latent, :],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dv_ref[:] += dv_f.astype(cdtype)
+            grad_refs[0][0, latent:2 * latent, :] = jax.lax.dot_general(
+                vsave_ref[0], gs_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            grad_refs[0][0, 2 * latent:3 * latent, :] = jax.lax.dot_general(
+                vsave_ref[0], gr_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
 
         @pl.when(gidx == mps - 1)
         def _():
@@ -783,7 +907,8 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
                             band_r: int, chunk: int, n_layers_e: int,
                             n_layers_n: int, mps: int, cdtype,
-                            with_ge: bool = False):
+                            with_ge: bool = False,
+                            defer_first: bool = False):
     """Streaming variant of the reverse-round backward for meshes whose edge
     arrays do not fit VMEM: the saved residual stacks stay in HBM (per-round
     v/agg DMA'd whole; e DMA'd per chunk with 2-slot prefetch) and the ``de``
@@ -808,8 +933,14 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
-        (dv_ref, dagg_ref, vs_scr, aggc_scr, ec_scr, dec_scr, deo_scr,
-         sem_e, sem_d, sem_w) = refs[n_weights * 2 + 2:]
+        ps_ref = qs_ref = gs_ref = gr_ref = None
+        if defer_first:
+            (dv_ref, dagg_ref, vs_scr, aggc_scr, ec_scr, dec_scr, deo_scr,
+             ps_ref, qs_ref, gs_ref, gr_ref,
+             sem_e, sem_d, sem_w) = refs[n_weights * 2 + 2:]
+        else:
+            (dv_ref, dagg_ref, vs_scr, aggc_scr, ec_scr, dec_scr, deo_scr,
+             sem_e, sem_d, sem_w) = refs[n_weights * 2 + 2:]
 
         (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
             weight_refs, n_layers_e, n_layers_n)
@@ -834,7 +965,7 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
             upd, cache_n = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
                                     (latent, latent), cdtype)
             dupd = dv_ref[sl, :]
-            (dv_p, dagg_p), dnw, dnb, dgn, dbn = _mlp_bwd(
+            (dv_p, dagg_p), dnw, dnb, dgn, dbn, _ = _mlp_bwd(
                 dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
                 cdtype)
             dv_ref[sl, :] = dv_ref[sl, :] + dv_p
@@ -848,6 +979,17 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
         for k in range(n_layers_e * 2 + 2):
             grad_refs[k][0] = jnp.zeros(grad_refs[k].shape[1:], f32)
+
+        if defer_first:
+            w0 = ew[0]
+            ps_ref[:] = jax.lax.dot_general(
+                vs_scr[:], w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            qs_ref[:] = jax.lax.dot_general(
+                vs_scr[:], w0[2 * latent:3 * latent, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            gs_ref[:] = jnp.zeros((n, latent), f32)
+            gr_ref[:] = jnp.zeros((n, latent), f32)
 
         # ---- edge chunks: 2-slot prefetched reads, 2-slot deferred writes ---
         def read_e(slot, c):
@@ -918,21 +1060,37 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
                     == rel_s[None, :]).astype(cdtype)
             oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
                     == rel_r[None, :]).astype(cdtype)
-            vs = jax.lax.dot_general(
-                oh_s, vs_scr[pl.ds(ss, band_s), :], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            vr = jax.lax.dot_general(
-                oh_r, vs_scr[pl.ds(sr, band_r), :], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                                  (latent, latent, latent), cdtype)
+            if defer_first:
+                extra = jax.lax.dot_general(
+                    oh_s, ps_ref[pl.ds(ss, band_s), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                extra = extra + jax.lax.dot_general(
+                    oh_r, qs_ref[pl.ds(sr, band_r), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                _, cache_e = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                      (latent,), cdtype, extra_acc=extra)
+            else:
+                vs = jax.lax.dot_general(
+                    oh_s, vs_scr[pl.ds(ss, band_s), :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                vr = jax.lax.dot_general(
+                    oh_r, vs_scr[pl.ds(sr, band_r), :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                _, cache_e = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
+                                      (latent, latent, latent), cdtype)
             dmsg = de_c + jax.lax.dot_general(
                 oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=f32).astype(cdtype)
-            (de_p, dvs, dvr), dew, deb, dge, dbe = _mlp_bwd(
-                dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
-                (latent, latent, latent), cdtype)
+            if defer_first:
+                (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
+                    dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype)
+            else:
+                (de_p, dvs, dvr), dew, deb, dge, dbe, _ = _mlp_bwd(
+                    dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
+                    (latent, latent, latent), cdtype)
 
             @pl.when(c >= 2)  # slot reused: prior write must have landed
             def _():
@@ -940,15 +1098,29 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
             deo_scr[slot] = de_c + de_p
             write_d(slot, c).start()
-            dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
-                oh_s, dvs, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
-                oh_r, dvr, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(cdtype)
-            for k in range(n_layers_e):
-                grad_refs[k][0] += dew[k]
-                grad_refs[n_layers_e + k][0] += deb[k]
+            if defer_first:
+                dh0c = dh0.astype(cdtype)
+                gs_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                    oh_s, dh0c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                gr_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                    oh_r, dh0c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                grad_refs[0][0, 0:latent, :] += dew[0]
+                for k in range(1, n_layers_e):
+                    grad_refs[k][0] += dew[k]
+                for k in range(n_layers_e):
+                    grad_refs[n_layers_e + k][0] += deb[k]
+            else:
+                dv_ref[pl.ds(ss, band_s), :] += jax.lax.dot_general(
+                    oh_s, dvs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                dv_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
+                    oh_r, dvr, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype)
+                for k in range(n_layers_e):
+                    grad_refs[k][0] += dew[k]
+                    grad_refs[n_layers_e + k][0] += deb[k]
             grad_refs[2 * n_layers_e][0] += dge
             grad_refs[2 * n_layers_e + 1][0] += dbe
             return 0
@@ -958,6 +1130,22 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
         for c in range(max(chunks - 2, 0), chunks):
             write_d(c % 2, c).wait()
 
+        if defer_first:
+            w0 = ew[0]
+            dv_f = jax.lax.dot_general(
+                gs_ref[:], w0[latent:2 * latent, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dv_f = dv_f + jax.lax.dot_general(
+                gr_ref[:], w0[2 * latent:3 * latent, :],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dv_ref[:] += dv_f.astype(cdtype)
+            grad_refs[0][0, latent:2 * latent, :] = jax.lax.dot_general(
+                vs_scr[:], gs_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            grad_refs[0][0, 2 * latent:3 * latent, :] = jax.lax.dot_general(
+                vs_scr[:], gr_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
         @pl.when(gidx == mps - 1)
         def _():
             dv0_ref[:] = dv_ref[:]
@@ -966,13 +1154,15 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
 
 def residuals_resident(n: int, e: int, latent: int, dtype,
-                       budget: int = 15 << 20,
+                       budget: Optional[int] = None,
                        n_extra_e: int = 0) -> bool:
     """Can the backward keep the per-round residual windows + carries in VMEM
     (fast path), or must it stream them from HBM?  Shared by the forward
     (which chooses how to emit the saves) and the backward.  ``n_extra_e``:
     additional resident (E, L) cdtype buffers (the ``return_edges`` variants
     carry an e-output / ge-input)."""
+    if budget is None:
+        budget = _VMEM_BUDGET
     b = 2 if dtype == jnp.bfloat16 else 4
     est = 2 * (2 * n + e) * latent * b  # double-buffered per-round windows
     est += (n + e) * latent * b  # dv + de carries
@@ -984,13 +1174,15 @@ def residuals_resident(n: int, e: int, latent: int, dtype,
 
 def fused_fits(n: int, e: int, latent: int, dtype,
                kernel_bwd: bool = False,
-               budget: int = _VMEM_BUDGET) -> bool:
+               budget: Optional[int] = None) -> bool:
     """Host-side guard: can the fused kernels run this mesh — via the
     VMEM-resident or HBM-streaming variants — without a Mosaic scoped-vmem
     OOM?  Used by :func:`mgn_tpu.models.mgn.apply_mgn` to decide whether the
     ``cfg.fused`` request is honoured or silently falls back to the unfused
     path.  ``kernel_bwd``: also require the native reverse-round backward to
     fit (its streaming variant keeps four (N, L)-class carries resident)."""
+    if budget is None:
+        budget = _VMEM_BUDGET
     b = 2 if dtype == jnp.bfloat16 else 4
     w = 2 * 2 * 9 * latent * latent * 4  # double-buffered round weights
     slack = 2 << 20  # chunk slot buffers + staging headroom
@@ -1137,6 +1329,7 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
       *proc_leaves)
     if stream_e:
@@ -1161,10 +1354,23 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
     stream = _FORCE_STREAM or not residuals_resident(
         n, e, latent, cdtype, n_extra_e=int(with_ge))
     chunk = plan.chunk
+    # deferred first-layer backward: needs 4 extra (N, L) f32 buffers and
+    # only pays when E ≥ N (every real mesh); see _make_bwd_kernel.
+    if _FORCE_DEFER is not None:
+        defer = bool(_FORCE_DEFER)
+    else:
+        b = 2 if cdtype == jnp.bfloat16 else 4
+        if stream:
+            resident = n * latent * (3 * b + 4) + (2 << 20)
+        else:
+            resident = (2 * (2 * n + e) * latent * b
+                        + (n + e) * latent * b + n * latent * (4 + b))
+        resident += 2 * 2 * 9 * latent * latent * 4
+        defer = e >= n and resident + 16 * n * latent <= _VMEM_BUDGET
     make = _make_bwd_kernel_stream if stream else _make_bwd_kernel
     kernel = make(n, e, latent, plan.band_s, plan.band_r,
                   plan.chunk, n_layers_e, n_layers_n, mps, cdtype,
-                  with_ge=with_ge)
+                  with_ge=with_ge, defer_first=defer)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
                 _full_spec((n, latent))]
@@ -1190,6 +1396,8 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                   pl.BlockSpec(memory_space=pltpu.HBM) if stream
                   else _full_spec((e, latent))]
 
+    defer_scr = [pltpu.VMEM((n, latent), jnp.float32)  # ps/qs/G_s/G_r
+                 for _ in range(4)] if defer else []
     if stream:
         scratch = [
             pltpu.VMEM((n, latent), cdtype),  # dv carry
@@ -1199,6 +1407,7 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             pltpu.VMEM((2, chunk, latent), cdtype),  # ec_scr
             pltpu.VMEM((2, chunk, latent), cdtype),  # dec_scr
             pltpu.VMEM((2, chunk, latent), cdtype),  # deo_scr
+            *defer_scr,
             pltpu.SemaphoreType.DMA((2,)),  # sem_e
             pltpu.SemaphoreType.DMA((2,)),  # sem_d
             pltpu.SemaphoreType.DMA((2,)),  # sem_w
@@ -1208,6 +1417,7 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             pltpu.VMEM((n, latent), cdtype),  # dv carry
             pltpu.VMEM((e, latent), cdtype),  # de carry
             pltpu.VMEM((n, latent), jnp.float32),  # dagg
+            *defer_scr,
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1225,6 +1435,7 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(plan.starts_s, plan.starts_r, *args, vsave, esave, aggsave,
       *proc_leaves)
     n_leaves = len(proc_leaves)
