@@ -64,9 +64,14 @@ def main():
           f"chunks={plan.rel_s.shape[0]} chunk={plan.chunk}", flush=True)
     iters = 100
 
-    def bench(name, probe=None, fwd_only=False, vmem_limit=None):
+    default_limit = F._VMEM_LIMIT
+
+    def bench(name, probe=None, fwd_only=False, vmem_limit="default",
+              defer=None):
         F._PROBE = probe
-        F._VMEM_LIMIT = vmem_limit
+        F._VMEM_LIMIT = default_limit if vmem_limit == "default" \
+            else vmem_limit
+        F._FORCE_DEFER = defer
         F._make_fused.cache_clear()
 
         if fwd_only:
@@ -91,8 +96,9 @@ def main():
             loop(v0, e0).block_until_ready()
         except Exception as ex:  # e.g. scoped-vmem OOM on a probe variant
             F._PROBE = None
+            F._VMEM_LIMIT = default_limit
+            F._FORCE_DEFER = None
             F._make_fused.cache_clear()
-            F._VMEM_LIMIT = None
             print(f"{name}: FAILED ({type(ex).__name__})", flush=True)
             return None
         best = float("inf")
@@ -101,24 +107,29 @@ def main():
             loop(v0, e0).block_until_ready()
             best = min(best, (time.perf_counter() - t0) / iters)
         F._PROBE = None
-        F._VMEM_LIMIT = None
+        F._VMEM_LIMIT = default_limit
+        F._FORCE_DEFER = None
         F._make_fused.cache_clear()
         print(f"{name}: {best*1e3:.3f} ms", flush=True)
         return best
 
+    # NOTE: the _PROBE bisection hooks live in the NON-deferred chunk body
+    # (edge_chunk_bwd), so the bisection pins defer=False; the defer A/B at
+    # the bottom measures the shipped default against it.
     t_fwd = bench("fwd only (no grad, kernel_bwd path)", fwd_only=True)
-    t_base = bench("fwd+bwd baseline")
-    t_node = bench("bwd_skip_node (no node-stage backward)", "bwd_skip_node")
+    t_base = bench("fwd+bwd baseline (defer=False)", defer=False)
+    t_node = bench("bwd_skip_node (no node-stage backward)", "bwd_skip_node",
+                   defer=False)
     t_gath = bench("bwd_skip_gather (no vs/vr recompute gathers)",
-                   "bwd_skip_gather")
+                   "bwd_skip_gather", defer=False)
     t_rec = bench("bwd_skip_recompute (no gathers, no MLP recompute)",
-                  "bwd_skip_recompute", vmem_limit=32 << 20)
+                  "bwd_skip_recompute", vmem_limit=32 << 20, defer=False)
     t_mlpb = bench("bwd_skip_mlpbwd (no adjoint MLP matmuls)",
-                   "bwd_skip_mlpbwd")
+                   "bwd_skip_mlpbwd", defer=False)
     t_wg = bench("bwd_skip_wgrads (no weight-grad accumulation)",
-                 "bwd_skip_wgrads")
+                 "bwd_skip_wgrads", defer=False)
     t_df = bench("bwd_skip_dflow (no dagg gather, no dv/de scatters)",
-                 "bwd_skip_dflow")
+                 "bwd_skip_dflow", defer=False)
 
     tb = t_base - t_fwd
     print("--- decomposition (bwd-attributable per step) ---", flush=True)
@@ -133,6 +144,10 @@ def main():
             continue
         print(f"{name}: {(t_base-t)*1e3:.3f} ms "
               f"({100*(t_base-t)/tb:.0f}% of bwd)", flush=True)
+
+    # A/B: the deferred first-layer backward vs the direct one
+    bench("fwd+bwd defer_first=False", defer=False)
+    bench("fwd+bwd defer_first=True", defer=True)
 
     # sanity: does a raised Mosaic scoped-vmem cap change the real kernel?
     bench("baseline with vmem_limit=32MB", vmem_limit=32 << 20)
