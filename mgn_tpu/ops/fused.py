@@ -77,6 +77,7 @@ _FORCE_STREAM = False  # testing hook: force the streaming residual path
 _FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
 _FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
 _FORCE_DEFER = None  # testing hook: pin the deferred first-layer backward
+_FORCE_WT = None  # testing hook: pin per-round transposed adjoint weights
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
@@ -227,7 +228,8 @@ def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype,
     return out, (pre, post, xhat, rstd)
 
 
-def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
+def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
+             wts=None):
     """Backward of :func:`_mlp_fwd`.
 
     Returns (dparts, dws, dbs, dln_scale, dln_bias, dh0); dws/dbs are f32,
@@ -235,27 +237,56 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
     ``dh0`` is the first-layer pre-activation cotangent — the deferred
     first-layer backward scatters it into node-space accumulators instead of
     materialising per-part input cotangents (in which case ``h_parts`` /
-    ``w0_splits`` carry only the non-deferred leading parts)."""
+    ``w0_splits`` carry only the non-deferred leading parts).
+
+    ``wts``: optional pre-transposed weights (``wts[i] == ws[i].T``, computed
+    once per round by the kernel) — the adjoint matmuls then contract (1,0)
+    on a canonical operand layout instead of (1,1) against the transposed
+    weight (``_FORCE_WT`` / ``set_adjoint_transpose``)."""
     f32 = jnp.float32
     pre, post, xhat, rstd = cache
-    dy = dout.astype(f32)
-    dgamma = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dbeta = jnp.sum(dy, axis=0, keepdims=True)
-    dxhat = dy * ln_scale.astype(f32)
-    dh = (dxhat - jnp.mean(dxhat, -1, keepdims=True)
-          - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)) * rstd
-    dh = dh.astype(cdtype)
+    if _PROBE and "bwd_skip_vpu" in _PROBE:  # timing-only: no LN-bwd/relu VPU
+        dgamma = dbeta = jnp.zeros((1, dout.shape[1]), f32)
+        dh = dout
+    else:
+        dy = dout.astype(f32)
+        dgamma = jnp.sum(dy * xhat, axis=0, keepdims=True)
+        dbeta = jnp.sum(dy, axis=0, keepdims=True)
+        dxhat = dy * ln_scale.astype(f32)
+        dh = (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+              - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True)) * rstd
+        dh = dh.astype(cdtype)
     dws = [None] * len(ws)
     dbs = [None] * len(ws)
+    # timing-only probe variants (benchmarks/probe_bwd_tpu.py): "bwd_adj10"
+    # contracts the adjoint dh@wᵀ matmuls as (1,0) — shape-identical for
+    # square (L,L) weights, measures the transposed-operand layout cost;
+    # "bwd_wg10" replaces the (0,0) weight-grad contraction with an
+    # untransposed matmul of the same FLOPs against a fake (L,chunk) operand.
+    adj_dim = (0,) if _PROBE and "bwd_adj10" in _PROBE else (1,)
+
+    def _wgrad(p, dh):
+        if _PROBE and "bwd_wg10" in _PROBE:
+            fake = jnp.full((p.shape[1], p.shape[0]), 0.5, p.dtype)
+            return jax.lax.dot_general(
+                fake, dh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        return jax.lax.dot_general(  # pᵀ @ dh
+            p, dh, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
     for i in range(len(ws) - 1, 0, -1):
         dbs[i] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
-        dws[i] = jax.lax.dot_general(  # postᵀ @ dh
-            post[i - 1], dh, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        dhr = jax.lax.dot_general(  # dh @ wᵀ
-            dh, ws[i], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32).astype(cdtype)
-        dh = dhr * (pre[i - 1] > 0).astype(cdtype)
+        dws[i] = _wgrad(post[i - 1], dh)
+        if wts is not None:
+            dhr = jax.lax.dot_general(  # dh @ wᵀ, pre-transposed operand
+                dh, wts[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+        else:
+            dhr = jax.lax.dot_general(  # dh @ wᵀ
+                dh, ws[i], (((1,), adj_dim), ((), ())),
+                preferred_element_type=f32).astype(cdtype)
+        dh = dhr if _PROBE and "bwd_skip_vpu" in _PROBE \
+            else dhr * (pre[i - 1] > 0).astype(cdtype)
     dbs[0] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
     dh32 = dh
     dw0_rows = []
@@ -263,11 +294,16 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype):
     off = 0
     w0 = ws[0]
     for p, d in zip(h_parts, w0_splits):
-        dw0_rows.append(jax.lax.dot_general(  # pᵀ @ dh
-            p, dh32, (((0,), (0,)), ((), ())), preferred_element_type=f32))
-        dparts.append(jax.lax.dot_general(  # dh @ w0_sliceᵀ
-            dh32, w0[off:off + d, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32).astype(cdtype))
+        dw0_rows.append(_wgrad(p, dh32))
+        if wts is not None:
+            dparts.append(jax.lax.dot_general(  # dh @ (w0ᵀ cols)
+                dh32, wts[0][:, off:off + d], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype))
+        else:
+            dparts.append(jax.lax.dot_general(  # dh @ w0_sliceᵀ
+                dh32, w0[off:off + d, :], (((1,), adj_dim if d == w0.shape[1]
+                                            else (1,)), ((), ())),
+                preferred_element_type=f32).astype(cdtype))
         off += d
     dw0 = jnp.concatenate(dw0_rows, axis=0)
     return dparts, [dw0] + dws[1:], dbs, dgamma, dbeta, dh32
@@ -706,6 +742,11 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
             weight_refs, n_layers_e, n_layers_n)
 
+        # per-round transposed adjoint weights (one (L,·) transpose per
+        # weight per round instead of a layout fix-up per adjoint matmul)
+        wt_e = [jnp.swapaxes(w, 0, 1) for w in ew] if _FORCE_WT else None
+        wt_n = [jnp.swapaxes(w, 0, 1) for w in nw] if _FORCE_WT else None
+
         gidx = pl.program_id(0)
 
         @pl.when(gidx == 0)
@@ -733,7 +774,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             dupd = dv_ref[sl, :]  # v' = v + upd  =>  d upd = dv'
             (dv_p, dagg_p), dnw, dnb, dgn, dbn, _ = _mlp_bwd(
                 dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
-                cdtype)
+                cdtype, wts=wt_n)
             dv_ref[sl, :] = dv_ref[sl, :] + dv_p
             dagg_ref[sl, :] = dagg_p.astype(f32)
             parts = dnw + dnb + [dgn, dbn]
@@ -789,7 +830,8 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=f32).astype(cdtype)
             (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
-                dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype)
+                dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype,
+                wts=wt_e)
             de_ref[pl.ds(base, chunk), :] = de_c + de_p
             # scatter dh0 into node space (f32 accumulators); dv and dW0's
             # vs/vr rows are recovered once per round after the loop
@@ -856,7 +898,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             else:
                 (de_p, dvs, dvr), dew, deb, dge, dbe, _ = _mlp_bwd(
                     dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
-                    (latent, latent, latent), cdtype)
+                    (latent, latent, latent), cdtype, wts=wt_e)
             if _PROBE != "bwd_skip_dflow":
                 de_ref[pl.ds(base, chunk), :] = de_c + de_p
                 # gather adjoints: scatter dvs/dvr back into the dv bands
@@ -882,12 +924,20 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             # deferred first-layer: dv += G_s @ W0_vsᵀ + G_r @ W0_vrᵀ;
             # dW0 vs/vr rows = v_savedᵀ @ G (4 (N,L)-class matmuls/round)
             w0 = ew[0]
-            dv_f = jax.lax.dot_general(
-                gs_ref[:], w0[latent:2 * latent, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            dv_f = dv_f + jax.lax.dot_general(
-                gr_ref[:], w0[2 * latent:3 * latent, :],
-                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if wt_e is not None:
+                dv_f = jax.lax.dot_general(
+                    gs_ref[:], wt_e[0][:, latent:2 * latent],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                dv_f = dv_f + jax.lax.dot_general(
+                    gr_ref[:], wt_e[0][:, 2 * latent:3 * latent],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            else:
+                dv_f = jax.lax.dot_general(
+                    gs_ref[:], w0[latent:2 * latent, :],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                dv_f = dv_f + jax.lax.dot_general(
+                    gr_ref[:], w0[2 * latent:3 * latent, :],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
             dv_ref[:] += dv_f.astype(cdtype)
             grad_refs[0][0, latent:2 * latent, :] = jax.lax.dot_general(
                 vsave_ref[0], gs_ref[:], (((0,), (0,)), ((), ())),
@@ -945,6 +995,9 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
         (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
             weight_refs, n_layers_e, n_layers_n)
 
+        wt_e = [jnp.swapaxes(w, 0, 1) for w in ew] if _FORCE_WT else None
+        wt_n = [jnp.swapaxes(w, 0, 1) for w in nw] if _FORCE_WT else None
+
         gidx = pl.program_id(0)
         ridx = mps - 1 - gidx
 
@@ -967,7 +1020,7 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
             dupd = dv_ref[sl, :]
             (dv_p, dagg_p), dnw, dnb, dgn, dbn, _ = _mlp_bwd(
                 dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
-                cdtype)
+                cdtype, wts=wt_n)
             dv_ref[sl, :] = dv_ref[sl, :] + dv_p
             dagg_ref[sl, :] = dagg_p.astype(f32)
             parts = dnw + dnb + [dgn, dbn]
@@ -1086,11 +1139,12 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
                 preferred_element_type=f32).astype(cdtype)
             if defer_first:
                 (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
-                    dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype)
+                    dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype,
+                    wts=wt_e)
             else:
                 (de_p, dvs, dvr), dew, deb, dge, dbe, _ = _mlp_bwd(
                     dmsg, cache_e, (e_c, vs, vr), ew, eln_s,
-                    (latent, latent, latent), cdtype)
+                    (latent, latent, latent), cdtype, wts=wt_e)
 
             @pl.when(c >= 2)  # slot reused: prior write must have landed
             def _():
@@ -1132,12 +1186,20 @@ def _make_bwd_kernel_stream(n: int, e: int, latent: int, band_s: int,
 
         if defer_first:
             w0 = ew[0]
-            dv_f = jax.lax.dot_general(
-                gs_ref[:], w0[latent:2 * latent, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            dv_f = dv_f + jax.lax.dot_general(
-                gr_ref[:], w0[2 * latent:3 * latent, :],
-                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if wt_e is not None:
+                dv_f = jax.lax.dot_general(
+                    gs_ref[:], wt_e[0][:, latent:2 * latent],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                dv_f = dv_f + jax.lax.dot_general(
+                    gr_ref[:], wt_e[0][:, 2 * latent:3 * latent],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            else:
+                dv_f = jax.lax.dot_general(
+                    gs_ref[:], w0[latent:2 * latent, :],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                dv_f = dv_f + jax.lax.dot_general(
+                    gr_ref[:], w0[2 * latent:3 * latent, :],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
             dv_ref[:] += dv_f.astype(cdtype)
             grad_refs[0][0, latent:2 * latent, :] = jax.lax.dot_general(
                 vs_scr[:], gs_ref[:], (((0,), (0,)), ((), ())),

@@ -452,3 +452,54 @@ def test_fused_deferred_first_layer_backward(defer):
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-4)
+
+
+def test_fused_transposed_adjoint_weights_backward():
+    """Per-round pre-transposed adjoint weights (``_FORCE_WT``) change only
+    the operand layout of the adjoint matmuls — gradients must match plain
+    AD through the XLA reference (resident + streaming residuals)."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(43)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(6), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+
+    def loss(p, v, e_):
+        return jnp.sum(fused_process(p, v, e_, plan, sj, rj, ev, mps,
+                                     interpret=True, kernel_bwd=True) ** 2)
+
+    F._FORCE_WT = True
+    F._make_fused.cache_clear()
+    try:
+        grads = {}
+        for defer in (False, True):
+            F._FORCE_DEFER = defer
+            F._FORCE_STREAM = False
+            F._make_fused.cache_clear()
+            grads[(defer, False)] = jax.grad(
+                loss, argnums=(0, 1, 2))(proc, v0, e0)
+            F._FORCE_STREAM = True
+            F._make_fused.cache_clear()
+            grads[(defer, True)] = jax.grad(
+                loss, argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_WT = None
+        F._FORCE_DEFER = None
+        F._FORCE_STREAM = False
+        F._make_fused.cache_clear()
+    for got in grads.values():
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
