@@ -117,4 +117,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-TPU tunnel is occasionally flaky (transient connection
+    # refusals / compile-service drops); retry a couple of times so one
+    # hiccup doesn't lose the round's benchmark record.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"bench attempt {attempt + 1} failed; retrying in 60s",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
