@@ -78,6 +78,12 @@ _FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
 _FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
 _FORCE_DEFER = None  # testing hook: pin the deferred first-layer backward
 _FORCE_WT = None  # testing hook: pin per-round transposed adjoint weights
+# Unroll the per-round chunk loop only up to this many chunks: unrolling lets
+# Mosaic hoist/CSE the loop-invariant work (measured fastest at cylinder
+# size, 11-22 chunks), but compile time grows superlinearly with the unrolled
+# body count — a 117-chunk 20k-node mesh took >40 min of remote Mosaic
+# compile before this cap.  Rolled loops share one compiled body.
+_UNROLL_CHUNKS_MAX = 32
 # perf-bisection hook (benchmarks/probe_fused_tpu.py): None = real kernel;
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
@@ -480,7 +486,8 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 agg_ref[pl.ds(sr, band_r), :] += contrib
             return 0
 
-        jax.lax.fori_loop(0, chunks, edge_chunk, 0, unroll=True)
+        jax.lax.fori_loop(0, chunks, edge_chunk, 0,
+                          unroll=chunks <= _UNROLL_CHUNKS_MAX)
 
         if save_residuals and not stream_saves:
             aggsave_ref[0] = agg_ref[:].astype(cdtype)
@@ -918,7 +925,8 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
         jax.lax.fori_loop(0, chunks,
                           edge_chunk_deferred if defer_first
-                          else edge_chunk_bwd, 0, unroll=True)
+                          else edge_chunk_bwd, 0,
+                          unroll=chunks <= _UNROLL_CHUNKS_MAX)
 
         if defer_first:
             # deferred first-layer: dv += G_s @ W0_vsᵀ + G_r @ W0_vrᵀ;

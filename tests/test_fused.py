@@ -454,6 +454,50 @@ def test_fused_deferred_first_layer_backward(defer):
                                        rtol=5e-4, atol=5e-4)
 
 
+def test_fused_rolled_chunk_loop_matches_unrolled():
+    """Past ``_UNROLL_CHUNKS_MAX`` chunks the per-round chunk loop rolls up
+    (compile-time control for big meshes); forward and gradients must be
+    identical to the unrolled trace (guards the body against anything that
+    silently assumed a Python-int chunk index)."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(44)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n, chunk=128)  # 4 chunks
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(7), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def run():
+        out = fused_process(proc, v0, e0, plan, sj, rj, ev, mps,
+                            interpret=True)
+        g = jax.grad(lambda p, v, e_: jnp.sum(fused_process(
+            p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+            kernel_bwd=True) ** 2), argnums=(0, 1, 2))(proc, v0, e0)
+        return out, g
+
+    ref_out, ref_g = run()
+    old = F._UNROLL_CHUNKS_MAX
+    F._UNROLL_CHUNKS_MAX = 0  # force rolled chunk loops
+    F._make_fused.cache_clear()
+    try:
+        out, g = run()
+    finally:
+        F._UNROLL_CHUNKS_MAX = old
+        F._make_fused.cache_clear()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fused_transposed_adjoint_weights_backward():
     """Per-round pre-transposed adjoint weights (``_FORCE_WT``) change only
     the operand layout of the adjoint matmuls — gradients must match plain
