@@ -143,6 +143,20 @@ def main():
                   row_offsets=template.row_offsets)
         bench_fwd("fused-auto", MGNConfig(**base, fused=True),
                   fused_plan=template.fused_plan)
+        if os.environ.get("MGN_BIGMESH_UNROLL_AB"):
+            # A/B the rolled chunk loop (shipped default past
+            # _UNROLL_CHUNKS_MAX chunks) against a fully unrolled trace
+            # (compile is slow at this size — that is the point of the cap)
+            saved_cap = F._UNROLL_CHUNKS_MAX
+            F._UNROLL_CHUNKS_MAX = 1 << 30
+            F._make_fused.cache_clear()
+            try:
+                bench_fwd("fused-unrolled(pinned)",
+                          MGNConfig(**base, fused=True),
+                          fused_plan=template.fused_plan)
+            finally:
+                F._UNROLL_CHUNKS_MAX = saved_cap
+                F._make_fused.cache_clear()
         b = 2  # bf16
         auto_stream_e = (n_pad * 128 * (b + 4) + e_pad * 128 * b
                          + 2 * 2 * 9 * 128 * 128 * 4) > F._VMEM_BUDGET
