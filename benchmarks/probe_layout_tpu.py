@@ -70,9 +70,10 @@ def main():
           f"chunks={plan.rel_s.shape[0]} chunk={plan.chunk}", flush=True)
     iters = 100
 
-    def bench(name, probe=None, wt=None):
+    def bench(name, probe=None, wt=None, wgb=None):
         F._PROBE = probe
         F._FORCE_WT = wt
+        F._FORCE_WGB = wgb
         F._make_fused.cache_clear()
         grad = jax.grad(lambda v, e_: jnp.sum(fused_process(
             proc, v, e_, plan, sj, rj, ev, mps, kernel_bwd=True) ** 2))
@@ -88,6 +89,7 @@ def main():
         except Exception as ex:
             F._PROBE = None
             F._FORCE_WT = None
+            F._FORCE_WGB = None
             F._make_fused.cache_clear()
             print(f"{name}: FAILED ({type(ex).__name__})", flush=True)
             return None
@@ -98,6 +100,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         F._PROBE = None
         F._FORCE_WT = None
+        F._FORCE_WGB = None
         F._make_fused.cache_clear()
         print(f"{name}: {best*1e3:.3f} ms", flush=True)
         return best
@@ -108,16 +111,21 @@ def main():
     t_both = bench("bwd_adj10+bwd_wg10", "bwd_adj10+bwd_wg10")
     t_vpu = bench("bwd_skip_vpu (no LN-bwd/relu-mask VPU work)",
                   "bwd_skip_vpu")
-    # REAL (numerically exact) candidate: per-round transposed adjoint weights
+    # REAL (numerically exact) candidates
     t_wt = bench("FORCE_WT (real per-round transposed adjoint weights)",
                  wt=True)
+    t_wgb = bench("FORCE_WGB (real per-round batched weight grads)",
+                  wgb=True)
+    t_wtgb = bench("FORCE_WT+WGB (both)", wt=True, wgb=True)
 
     print("--- layout-cost attribution (vs baseline) ---", flush=True)
     for name, t in [("adjoint transposed-W cost", t_adj),
                     ("wgrad transposed-A cost", t_wg),
                     ("both", t_both),
                     ("LN-bwd/relu VPU cost", t_vpu),
-                    ("FORCE_WT real gain", t_wt)]:
+                    ("FORCE_WT real gain", t_wt),
+                    ("FORCE_WGB real gain", t_wgb),
+                    ("FORCE_WT+WGB real gain", t_wtgb)]:
         if t is None or t_base is None:
             continue
         print(f"{name}: {(t_base-t)*1e3:.3f} ms", flush=True)

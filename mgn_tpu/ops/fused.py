@@ -78,6 +78,7 @@ _FORCE_PREPROJECT = None  # testing hook: pin the forward pre-projection path
 _FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
 _FORCE_DEFER = None  # testing hook: pin the deferred first-layer backward
 _FORCE_WT = None  # testing hook: pin per-round transposed adjoint weights
+_FORCE_WGB = None  # testing hook: pin per-round batched weight gradients
 # Unroll the per-round chunk loop only up to this many chunks: unrolling lets
 # Mosaic hoist/CSE the loop-invariant work (measured fastest at cylinder
 # size, 11-22 chunks), but compile time grows superlinearly with the unrolled
@@ -235,7 +236,7 @@ def _mlp_fwd(h_parts, ws, bs, ln_scale, ln_bias, w0_splits, cdtype,
 
 
 def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
-             wts=None):
+             wts=None, wgrad_sink=None):
     """Backward of :func:`_mlp_fwd`.
 
     Returns (dparts, dws, dbs, dln_scale, dln_bias, dh0); dws/dbs are f32,
@@ -248,7 +249,13 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
     ``wts``: optional pre-transposed weights (``wts[i] == ws[i].T``, computed
     once per round by the kernel) — the adjoint matmuls then contract (1,0)
     on a canonical operand layout instead of (1,1) against the transposed
-    weight (``_FORCE_WT`` / ``set_adjoint_transpose``)."""
+    weight (``_FORCE_WT``).
+
+    ``wgrad_sink(level, post_or_None, dh)``: when given, per-chunk weight/
+    bias gradients are NOT computed; instead the activations and cotangents
+    are handed to the sink (the batched-wgrad kernel stashes them in (E, L)
+    scratch and runs one big matmul per layer per round — ``_FORCE_WGB``).
+    ``dws``/``dbs`` come back ``None`` then (LN grads still returned)."""
     f32 = jnp.float32
     pre, post, xhat, rstd = cache
     if _PROBE and "bwd_skip_vpu" in _PROBE:  # timing-only: no LN-bwd/relu VPU
@@ -281,8 +288,11 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
             p, dh, (((0,), (0,)), ((), ())), preferred_element_type=f32)
 
     for i in range(len(ws) - 1, 0, -1):
-        dbs[i] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
-        dws[i] = _wgrad(post[i - 1], dh)
+        if wgrad_sink is not None:
+            wgrad_sink(i, post[i - 1], dh)
+        else:
+            dbs[i] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
+            dws[i] = _wgrad(post[i - 1], dh)
         if wts is not None:
             dhr = jax.lax.dot_general(  # dh @ wᵀ, pre-transposed operand
                 dh, wts[i], (((1,), (0,)), ((), ())),
@@ -293,14 +303,18 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
                 preferred_element_type=f32).astype(cdtype)
         dh = dhr if _PROBE and "bwd_skip_vpu" in _PROBE \
             else dhr * (pre[i - 1] > 0).astype(cdtype)
-    dbs[0] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
+    if wgrad_sink is not None:
+        wgrad_sink(0, None, dh)
+    else:
+        dbs[0] = jnp.sum(dh.astype(f32), axis=0, keepdims=True)
     dh32 = dh
     dw0_rows = []
     dparts = []
     off = 0
     w0 = ws[0]
     for p, d in zip(h_parts, w0_splits):
-        dw0_rows.append(_wgrad(p, dh32))
+        if wgrad_sink is None:
+            dw0_rows.append(_wgrad(p, dh32))
         if wts is not None:
             dparts.append(jax.lax.dot_general(  # dh @ (w0ᵀ cols)
                 dh32, wts[0][:, off:off + d], (((1,), (0,)), ((), ())),
@@ -311,6 +325,8 @@ def _mlp_bwd(dout, cache, h_parts, ws, ln_scale, w0_splits, cdtype,
                                             else (1,)), ((), ())),
                 preferred_element_type=f32).astype(cdtype))
         off += d
+    if wgrad_sink is not None:
+        return dparts, None, None, dgamma, dbeta, dh32
     dw0 = jnp.concatenate(dw0_rows, axis=0)
     return dparts, [dw0] + dws[1:], dbs, dgamma, dbeta, dh32
 
@@ -705,7 +721,8 @@ def _make_kernel_stream_e(n: int, e: int, latent: int, band_s: int,
 def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                      cdtype, with_ge: bool = False,
-                     defer_first: bool = False):
+                     defer_first: bool = False,
+                     batch_wgrads: bool = False):
     """Reverse-round backward: grid step g processes round mps-1-g.
 
     Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
@@ -714,6 +731,13 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     cotangent dtype for a ``cdtype`` primal); weight grads are f32.
     ``with_ge``: an incoming edge-latent cotangent seeds the ``de`` carry
     (the ``return_edges`` forward).
+
+    ``batch_wgrads`` (requires ``defer_first``): edge-MLP weight/bias grads
+    are not accumulated per chunk; the per-chunk activations and cotangents
+    are stashed into (E, L) VMEM stacks and each layer's ``dW`` becomes ONE
+    (E,L)ᵀ@(E,L) matmul per round (3 big matmuls instead of 3 per chunk) —
+    trades 2·n_layers-1 extra (E, L) buffers for a much shorter serial
+    chunk chain (``_FORCE_WGB``).
 
     ``defer_first``: the deferred first-layer backward.  Per chunk, instead
     of materialising ``dvs``/``dvr`` (2 matmuls), scattering each (2) and
@@ -740,11 +764,18 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
+        rest = refs[n_weights * 2 + 2:]
+        dh_scr = post_scr = None
+        if batch_wgrads:
+            n_wgb = 2 * n_layers_e - 1
+            rest, wgb_scr = rest[:-n_wgb], rest[-n_wgb:]
+            dh_scr = wgb_scr[:n_layers_e]
+            post_scr = wgb_scr[n_layers_e:]
         if defer_first:
             (dv_ref, de_ref, dagg_ref, ps_ref, qs_ref, gs_ref,
-             gr_ref) = refs[n_weights * 2 + 2:]
+             gr_ref) = rest
         else:
-            dv_ref, de_ref, dagg_ref = refs[n_weights * 2 + 2:]
+            dv_ref, de_ref, dagg_ref = rest
 
         (ew, eb, eln_s, eln_b, nw, nb, nln_s, nln_b) = _unpack_weight_refs(
             weight_refs, n_layers_e, n_layers_n)
@@ -836,9 +867,15 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=f32).astype(cdtype)
+            sink = None
+            if batch_wgrads:
+                def sink(level, p, dh_l):
+                    dh_scr[level][pl.ds(base, chunk), :] = dh_l
+                    if level > 0:
+                        post_scr[level - 1][pl.ds(base, chunk), :] = p
             (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
                 dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype,
-                wts=wt_e)
+                wts=wt_e, wgrad_sink=sink)
             de_ref[pl.ds(base, chunk), :] = de_c + de_p
             # scatter dh0 into node space (f32 accumulators); dv and dW0's
             # vs/vr rows are recovered once per round after the loop
@@ -849,11 +886,12 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             gr_ref[pl.ds(sr, band_r), :] += jax.lax.dot_general(
                 oh_r, dh0c, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
-            grad_refs[0][0, 0:latent, :] += dew[0]
-            for k in range(1, n_layers_e):
-                grad_refs[k][0] += dew[k]
-            for k in range(n_layers_e):
-                grad_refs[n_layers_e + k][0] += deb[k]
+            if not batch_wgrads:
+                grad_refs[0][0, 0:latent, :] += dew[0]
+                for k in range(1, n_layers_e):
+                    grad_refs[k][0] += dew[k]
+                for k in range(n_layers_e):
+                    grad_refs[n_layers_e + k][0] += deb[k]
             grad_refs[2 * n_layers_e][0] += dge
             grad_refs[2 * n_layers_e + 1][0] += dbe
             return 0
@@ -927,6 +965,20 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                           edge_chunk_deferred if defer_first
                           else edge_chunk_bwd, 0,
                           unroll=chunks <= _UNROLL_CHUNKS_MAX)
+
+        if batch_wgrads:
+            # one big (E,L)ᵀ@(E,L) weight-grad matmul per layer per round
+            # (plus one bias-sum per layer) from the stashed stacks
+            grad_refs[0][0, 0:latent, :] += jax.lax.dot_general(
+                esave_ref[0], dh_scr[0][:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            for lv in range(1, n_layers_e):
+                grad_refs[lv][0] += jax.lax.dot_general(
+                    post_scr[lv - 1][:], dh_scr[lv][:],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            for lv in range(n_layers_e):
+                grad_refs[n_layers_e + lv][0] += jnp.sum(
+                    dh_scr[lv][:].astype(f32), axis=0, keepdims=True)
 
         if defer_first:
             # deferred first-layer: dv += G_s @ W0_vsᵀ + G_r @ W0_vrᵀ;
@@ -1437,10 +1489,19 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                         + (n + e) * latent * b + n * latent * (4 + b))
         resident += 2 * 2 * 9 * latent * latent * 4
         defer = e >= n and resident + 16 * n * latent <= _VMEM_BUDGET
-    make = _make_bwd_kernel_stream if stream else _make_bwd_kernel
-    kernel = make(n, e, latent, plan.band_s, plan.band_r,
-                  plan.chunk, n_layers_e, n_layers_n, mps, cdtype,
-                  with_ge=with_ge, defer_first=defer)
+    # batched weight grads: resident + deferred path only (the stream kernel
+    # keeps per-chunk wgrads; (E, L) stacks would defeat its O(chunk) bound)
+    wgb = bool(_FORCE_WGB) and defer and not stream
+    if stream:
+        kernel = _make_bwd_kernel_stream(
+            n, e, latent, plan.band_s, plan.band_r, plan.chunk,
+            n_layers_e, n_layers_n, mps, cdtype,
+            with_ge=with_ge, defer_first=defer)
+    else:
+        kernel = _make_bwd_kernel(
+            n, e, latent, plan.band_s, plan.band_r, plan.chunk,
+            n_layers_e, n_layers_n, mps, cdtype,
+            with_ge=with_ge, defer_first=defer, batch_wgrads=wgb)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
                 _full_spec((n, latent))]
@@ -1489,6 +1550,9 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             pltpu.VMEM((n, latent), jnp.float32),  # dagg
             *defer_scr,
         ]
+        if wgb:  # dh stacks (n_layers_e) + post stacks (n_layers_e - 1)
+            scratch += [pltpu.VMEM((e, latent), cdtype)
+                        for _ in range(2 * n_layers_e - 1)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

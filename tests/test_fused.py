@@ -454,6 +454,47 @@ def test_fused_deferred_first_layer_backward(defer):
                                        rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("wt", [False, True])
+def test_fused_batched_wgrads_backward(wt):
+    """Per-round batched weight gradients (``_FORCE_WGB``: dh/post stacks +
+    one big matmul per layer per round) must match plain AD through the XLA
+    reference — alone and combined with the transposed adjoint weights."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(45)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(8), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+
+    F._FORCE_WGB = True
+    F._FORCE_WT = wt or None
+    F._FORCE_DEFER = True  # batched wgrads ride the deferred path
+    F._make_fused.cache_clear()
+    try:
+        g = jax.grad(lambda p, v, e_: jnp.sum(fused_process(
+            p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+            kernel_bwd=True) ** 2), argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_WGB = None
+        F._FORCE_WT = None
+        F._FORCE_DEFER = None
+        F._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_fused_rolled_chunk_loop_matches_unrolled():
     """Past ``_UNROLL_CHUNKS_MAX`` chunks the per-round chunk loop rolls up
     (compile-time control for big meshes); forward and gradients must be
