@@ -15,6 +15,7 @@ Public API parity with the reference's exports
 
 from mgn_tpu.api import eval_network, simulate, train_network
 from mgn_tpu.config import Args
+from mgn_tpu.serve import export_simulator, load_simulator
 from mgn_tpu.train.strategies import (DerivativeTraining, MultipleShooting,
                                       SolverTraining)
 from mgn_tpu.utils.stats import data_meanstd, der_minmax
@@ -25,6 +26,8 @@ __all__ = [
     "train_network",
     "eval_network",
     "simulate",
+    "export_simulator",
+    "load_simulator",
     "der_minmax",
     "data_meanstd",
     "DerivativeTraining",

@@ -123,3 +123,29 @@ def test_simulate_serving_api(ds_dir, tmp_path):
     # initial state is the provided frame
     gt0 = np.concatenate([tr.fields[f][0] for f in ("velocity",)], -1)
     np.testing.assert_allclose(pred[0], gt0, rtol=1e-5, atol=1e-6)
+
+
+def test_export_simulator_roundtrip(ds_dir, tmp_path):
+    """AOT export (jax.export): serialize the simulator, reload from bytes,
+    and match the in-process simulate() output."""
+    from mgn_tpu import export_simulator, load_simulator, simulate
+    from mgn_tpu.data.pipeline import load_dataset
+
+    cp = str(tmp_path / "cp_exp")
+    train_network(0.0, optax.adam(1e-3), ds_dir, cp, steps=10, checkpoint=5,
+                  **SMALL)
+    ds = load_dataset(ds_dir, is_training=False)
+    tr = ds.trajectory(0)
+    times = tr.times[:5]
+    f0 = {f: tr.fields[f][0] for f in tr.fields}
+
+    blob = export_simulator(ds_dir, cp, tr.mesh_pos, tr.node_type,
+                            num_steps=len(times), cells=tr.cells, **SMALL)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+    sim = load_simulator(blob)
+    pred = np.asarray(sim(np.asarray(times, np.float32),
+                          *[f0[f] for f in ("velocity",)]))
+    ref = simulate(ds_dir, cp, tr.mesh_pos, tr.node_type, f0, times,
+                   cells=tr.cells, **SMALL)
+    assert pred.shape == ref.shape == (5, tr.num_nodes, 2)
+    np.testing.assert_allclose(pred, ref, rtol=1e-5, atol=1e-5)
