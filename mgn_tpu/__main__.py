@@ -5,6 +5,7 @@ common workflows:
 
     python -m mgn_tpu train <ds_path> <cp_path> [options]
     python -m mgn_tpu eval  <ds_path> <cp_path> <out_path> [options]
+    python -m mgn_tpu export <ds_path> <cp_path> <out_file> [options]
     python -m mgn_tpu synth <ds_path> [--family cylinder|airfoil|flag|plate]
     python -m mgn_tpu convert to-h5|inspect|stats ...
     python -m mgn_tpu bench-scaling [num_nodes] [mps]
@@ -61,6 +62,20 @@ def main(argv=None):
     e.add_argument("--num-rollouts", type=int, default=10)
     e.add_argument("--mse-steps", type=int, nargs="+", default=[])
     _add_common(e)
+
+    x = sub.add_parser("export")
+    x.add_argument("ds_path")
+    x.add_argument("cp_path")
+    x.add_argument("out_file")
+    x.add_argument("--solver", default="euler")
+    x.add_argument("--num-steps", type=int, default=None,
+                   help="save-grid length baked into the artifact "
+                        "(default: the test trajectory's length)")
+    x.add_argument("--trajectory", type=int, default=0,
+                   help="test-split trajectory whose mesh topology to bake")
+    x.add_argument("--platforms", nargs="+", default=None,
+                   help="lowering platforms (default: current backend)")
+    _add_common(x)
 
     s = sub.add_parser("synth")
     s.add_argument("ds_path")
@@ -128,6 +143,23 @@ def main(argv=None):
                   types_noisy=tuple(args.types_noisy), seed=args.seed,
                   compute_dtype=args.compute_dtype)
     log = MetricsLogger()
+
+    if args.cmd == "export":
+        from mgn_tpu import export_simulator
+        from mgn_tpu.data.pipeline import load_dataset
+
+        ds = load_dataset(args.ds_path, is_training=False)
+        tr = ds.trajectory(args.trajectory)
+        num_steps = args.num_steps or len(tr.times)
+        blob = export_simulator(
+            args.ds_path, args.cp_path, tr.mesh_pos, tr.node_type,
+            num_steps=num_steps, cells=tr.cells, edges=tr.edges,
+            solver=args.solver, platforms=args.platforms, **common)
+        with open(args.out_file, "wb") as fh:
+            fh.write(blob)
+        print(f"wrote {len(blob)} bytes to {args.out_file} "
+              f"(num_steps={num_steps}, solver={args.solver})")
+        return
 
     if args.cmd == "train":
         strategy = {

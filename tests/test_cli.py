@@ -42,6 +42,13 @@ def test_cli_synth_train_eval(tmp_path):
     assert r.returncode == 0, r.stderr
     assert os.path.isfile(os.path.join(out, "euler", "trajectories.h5"))
 
+    art = str(tmp_path / "sim.mgnsim")
+    r = run_cli(["export", ds, cp, art, "--solver", "euler",
+                 "--num-steps", "4", "--mps", "1", "--layer-size", "8",
+                 "--hidden-layers", "1"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(art) > 1000
+
 
 def test_convert_inspect_and_stats(tmp_path):
     from mgn_tpu.data.convert import inspect, stats, to_h5
