@@ -149,3 +149,11 @@ def test_export_simulator_roundtrip(ds_dir, tmp_path):
                    cells=tr.cells, **SMALL)
     assert pred.shape == ref.shape == (5, tr.num_nodes, 2)
     np.testing.assert_allclose(pred, ref, rtol=1e-5, atol=1e-5)
+
+    # cross-platform lowering: a CPU host can produce a cpu+tpu artifact
+    blob2 = export_simulator(ds_dir, cp, tr.mesh_pos, tr.node_type,
+                             num_steps=len(times), cells=tr.cells,
+                             platforms=["cpu", "tpu"], **SMALL)
+    pred2 = np.asarray(load_simulator(blob2)(
+        np.asarray(times, np.float32), *[f0[f] for f in ("velocity",)]))
+    np.testing.assert_allclose(pred2, ref, rtol=1e-5, atol=1e-5)
