@@ -23,6 +23,8 @@ STEPS = [
      {}, 2400),
     ("bigmesh_ab", [sys.executable, "benchmarks/bigmesh_tpu.py"],
      {"MGN_BIGMESH_UNROLL_AB": "1"}, 3000),
+    ("unionbatch", [sys.executable, "benchmarks/unionbatch_tpu.py"],
+     {}, 2400),
     ("matrix_r02", [sys.executable, "benchmarks/matrix_tpu.py"],
      {"MGN_BENCH_ROUND": "r02"}, 2400),
     ("bench", [sys.executable, "bench.py"], {}, 1200),
