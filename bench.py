@@ -116,10 +116,36 @@ def main():
     }))
 
 
+def _await_tunnel(max_wait_s: int = 900) -> None:
+    """When this host routes jax to the remote axon TPU, a dead relay makes
+    ``import jax`` hang forever.  Probe the relay port first and wait up to
+    ``max_wait_s`` for it; exit with a clear error instead of hanging."""
+    if not os.path.isdir("/root/.axon_site"):
+        return
+    import socket
+
+    deadline = time.time() + max_wait_s
+    while True:
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", 8083))
+            return
+        except OSError:
+            if time.time() > deadline:
+                raise SystemExit(
+                    "axon TPU tunnel relay (127.0.0.1:8083) is down; "
+                    "refusing to import jax (it would hang)")
+            time.sleep(30)
+        finally:
+            s.close()
+
+
 if __name__ == "__main__":
     # The remote-TPU tunnel is occasionally flaky (transient connection
     # refusals / compile-service drops); retry a couple of times so one
     # hiccup doesn't lose the round's benchmark record.
+    _await_tunnel()
     for attempt in range(3):
         try:
             main()
