@@ -454,6 +454,50 @@ def test_fused_deferred_first_layer_backward(defer):
                                        rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("hidden", [1, 3])
+def test_fused_nondefault_mlp_depth(hidden):
+    """The fused kernels generalize over MLP depth (n_layers lists, per-layer
+    weight streaming, batched-wgrad stack counts) — forward + kernel backward
+    vs plain AD at hidden_layers != 2."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(46)
+    n, e, latent, mps = 256, 512, 32, 2
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=hidden,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(9), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    ref = process_rounds_xla(proc, v0, e0, sj, rj, ev, mps, jnp.float32, n)
+    out = fused_process(proc, v0, e0, plan, sj, rj, ev, mps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+    F._FORCE_WGB = True  # exercise the depth-generalized stack counts too
+    F._FORCE_DEFER = True
+    F._make_fused.cache_clear()
+    try:
+        g = jax.grad(lambda p, v, e_: jnp.sum(fused_process(
+            p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+            kernel_bwd=True) ** 2), argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_WGB = None
+        F._FORCE_DEFER = None
+        F._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("wt", [False, True])
 def test_fused_batched_wgrads_backward(wt):
     """Per-round batched weight gradients (``_FORCE_WGB``: dh/post stacks +
