@@ -70,10 +70,11 @@ def main():
           f"chunks={plan.rel_s.shape[0]} chunk={plan.chunk}", flush=True)
     iters = 100
 
-    def bench(name, probe=None, wt=None, wgb=None):
+    def bench(name, probe=None, wt=None, wgb=None, saveh=None):
         F._PROBE = probe
         F._FORCE_WT = wt
         F._FORCE_WGB = wgb
+        F._FORCE_SAVEH = saveh
         F._make_fused.cache_clear()
         grad = jax.grad(lambda v, e_: jnp.sum(fused_process(
             proc, v, e_, plan, sj, rj, ev, mps, kernel_bwd=True) ** 2))
@@ -90,6 +91,7 @@ def main():
             F._PROBE = None
             F._FORCE_WT = None
             F._FORCE_WGB = None
+            F._FORCE_SAVEH = None
             F._make_fused.cache_clear()
             print(f"{name}: FAILED ({type(ex).__name__})", flush=True)
             return None
@@ -101,6 +103,7 @@ def main():
         F._PROBE = None
         F._FORCE_WT = None
         F._FORCE_WGB = None
+        F._FORCE_SAVEH = None
         F._make_fused.cache_clear()
         print(f"{name}: {best*1e3:.3f} ms", flush=True)
         return best
@@ -117,6 +120,9 @@ def main():
     t_wgb = bench("FORCE_WGB (real per-round batched weight grads)",
                   wgb=True)
     t_wtgb = bench("FORCE_WT+WGB (both)", wt=True, wgb=True)
+    t_sh = bench("FORCE_SAVEH (real saved-activation backward)", saveh=True)
+    t_all = bench("FORCE_WT+WGB+SAVEH (all three)",
+                  wt=True, wgb=True, saveh=True)
 
     print("--- layout-cost attribution (vs baseline) ---", flush=True)
     for name, t in [("adjoint transposed-W cost", t_adj),
@@ -125,7 +131,9 @@ def main():
                     ("LN-bwd/relu VPU cost", t_vpu),
                     ("FORCE_WT real gain", t_wt),
                     ("FORCE_WGB real gain", t_wgb),
-                    ("FORCE_WT+WGB real gain", t_wtgb)]:
+                    ("FORCE_WT+WGB real gain", t_wtgb),
+                    ("FORCE_SAVEH real gain", t_sh),
+                    ("all three real gain", t_all)]:
         if t is None or t_base is None:
             continue
         print(f"{name}: {(t_base-t)*1e3:.3f} ms", flush=True)

@@ -79,6 +79,10 @@ _FORCE_STREAM_EDGES = None  # testing hook: pin the edge-streaming forward
 _FORCE_DEFER = None  # testing hook: pin the deferred first-layer backward
 _FORCE_WT = None  # testing hook: pin per-round transposed adjoint weights
 _FORCE_WGB = None  # testing hook: pin per-round batched weight gradients
+_FORCE_SAVEH = None  # testing hook: pin hidden-activation saving (skip the
+# backward recompute: forward saves each round's post-relu hidden
+# activations; the deferred backward rebuilds the MLP cache from them with
+# ONE matmul instead of 2 gathers + n_layers matmuls per chunk)
 # Unroll the per-round chunk loop only up to this many chunks: unrolling lets
 # Mosaic hoist/CSE the loop-invariant work (measured fastest at cylinder
 # size, 11-22 chunks), but compile time grows superlinearly with the unrolled
@@ -361,10 +365,11 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                  cdtype, save_residuals: bool = False,
                  stream_saves: bool = False, return_edges: bool = False,
-                 preproject: bool = False):
+                 preproject: bool = False, save_h: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
+    n_h = n_layers_e - 1 if save_h else 0
 
     def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
@@ -379,7 +384,12 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             eout_ref = refs[1]
             refs = refs[:1] + refs[2:]
         aggc_scr = None
-        if save_residuals and stream_saves:
+        hsave_refs = ()
+        if save_h:  # implies save_residuals and not stream_saves
+            (vout_ref, vsave_ref, esave_ref, aggsave_ref, *rest2) = refs
+            hsave_refs = rest2[:n_h]
+            v_ref, e_ref, agg_ref = rest2[n_h:]
+        elif save_residuals and stream_saves:
             (vout_ref, vsave_ref, esave_ref, aggsave_ref,
              v_ref, e_ref, agg_ref, aggc_scr) = refs
         elif save_residuals:
@@ -474,8 +484,12 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 if _PROBE == "skip_mlp":
                     msg = extra.astype(cdtype)
                 else:
-                    msg, _ = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
-                                      (latent,), cdtype, extra_acc=extra)
+                    msg, cache_f = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                            (latent,), cdtype,
+                                            extra_acc=extra)
+                    for i_h in range(n_h):
+                        hsave_refs[i_h][0, pl.ds(base, chunk), :] = \
+                            cache_f[1][i_h]
             elif _PROBE == "skip_gather":
                 vs = e_c
                 vr = e_c
@@ -492,8 +506,12 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 if _PROBE == "skip_mlp":
                     msg = vs
                 else:
-                    msg, _ = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s, eln_b,
-                                      (latent, latent, latent), cdtype)
+                    msg, cache_f = _mlp_fwd((e_c, vs, vr), ew, eb, eln_s,
+                                            eln_b, (latent, latent, latent),
+                                            cdtype)
+                    for i_h in range(n_h):
+                        hsave_refs[i_h][0, pl.ds(base, chunk), :] = \
+                            cache_f[1][i_h]
             e_ref[pl.ds(base, chunk), :] = e_c + msg
             if _PROBE != "skip_scatter":
                 contrib = jax.lax.dot_general(  # onehot @ msg — scatter-add
@@ -722,7 +740,8 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                      cdtype, with_ge: bool = False,
                      defer_first: bool = False,
-                     batch_wgrads: bool = False):
+                     batch_wgrads: bool = False,
+                     save_h: bool = False):
     """Reverse-round backward: grid step g processes round mps-1-g.
 
     Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
@@ -754,24 +773,31 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
 
+    n_h = n_layers_e - 1 if save_h else 0
+
     def kernel(starts_s_ref, starts_r_ref, *pre):
         if with_ge:
             (rel_s_ref, rel_r_ref, g_ref, ge_ref, vsave_ref, esave_ref,
-             aggsave_ref), refs = pre[:7], pre[7:]
+             aggsave_ref) = pre[:7]
+            hsave_refs, refs = pre[7:7 + n_h], pre[7 + n_h:]
         else:
             (rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
-             aggsave_ref), refs = pre[:6], pre[6:]
+             aggsave_ref) = pre[:6]
+            hsave_refs, refs = pre[6:6 + n_h], pre[6 + n_h:]
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
         rest = refs[n_weights * 2 + 2:]
         dh_scr = post_scr = None
         if batch_wgrads:
-            n_wgb = 2 * n_layers_e - 1
+            n_wgb = n_layers_e if save_h else 2 * n_layers_e - 1
             rest, wgb_scr = rest[:-n_wgb], rest[-n_wgb:]
             dh_scr = wgb_scr[:n_layers_e]
             post_scr = wgb_scr[n_layers_e:]
-        if defer_first:
+        ps_ref = qs_ref = None
+        if defer_first and save_h:
+            (dv_ref, de_ref, dagg_ref, gs_ref, gr_ref) = rest
+        elif defer_first:
             (dv_ref, de_ref, dagg_ref, ps_ref, qs_ref, gs_ref,
              gr_ref) = rest
         else:
@@ -830,16 +856,18 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             zeros_like_ref(grad_refs[k])
 
         if defer_first:
-            # pre-project saved node latents through the vs/vr W0 row-slices
-            # (mirrors the forward preproject) and zero the G accumulators
-            w0 = ew[0]
-            v_all = vsave_ref[0]
-            ps_ref[:] = jax.lax.dot_general(
-                v_all, w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            qs_ref[:] = jax.lax.dot_general(
-                v_all, w0[2 * latent:3 * latent, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+            if not save_h:
+                # pre-project saved node latents through the vs/vr W0
+                # row-slices (mirrors the forward preproject) for the
+                # recompute; with saved activations no recompute happens
+                w0 = ew[0]
+                v_all = vsave_ref[0]
+                ps_ref[:] = jax.lax.dot_general(
+                    v_all, w0[latent:2 * latent, :],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                qs_ref[:] = jax.lax.dot_general(
+                    v_all, w0[2 * latent:3 * latent, :],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
             gs_ref[:] = jnp.zeros((n, latent), f32)
             gr_ref[:] = jnp.zeros((n, latent), f32)
 
@@ -854,14 +882,35 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                     == rel_s[None, :]).astype(cdtype)
             oh_r = (jax.lax.broadcasted_iota(jnp.int32, (band_r, chunk), 0)
                     == rel_r[None, :]).astype(cdtype)
-            extra = jax.lax.dot_general(  # gather of pre-projected rows
-                oh_s, ps_ref[pl.ds(ss, band_s), :], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            extra = extra + jax.lax.dot_general(
-                oh_r, qs_ref[pl.ds(sr, band_r), :], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            _, cache_e = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
-                                  (latent,), cdtype, extra_acc=extra)
+            if save_h:
+                # rebuild the MLP cache from the saved post-relu hidden
+                # activations: ONE matmul (final pre-activation) + LN stats
+                # instead of 2 gathers + n_layers matmuls of recompute.
+                # relu masks use post > 0 (== pre > 0 where it matters).
+                h_posts = [hsave_refs[i][0, pl.ds(base, chunk), :]
+                           for i in range(n_h)]
+                pre_last = jax.lax.dot_general(
+                    h_posts[-1], ew[n_layers_e - 1],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32).astype(cdtype) \
+                    + eb[n_layers_e - 1]
+                h32 = pre_last.astype(f32)
+                mean = jnp.mean(h32, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(h32 - mean), axis=-1,
+                               keepdims=True)
+                rstd = jax.lax.rsqrt(var + 1e-5)
+                xhat = (h32 - mean) * rstd
+                cache_e = (list(h_posts) + [pre_last], list(h_posts),
+                           xhat, rstd)
+            else:
+                extra = jax.lax.dot_general(  # gather of pre-projected rows
+                    oh_s, ps_ref[pl.ds(ss, band_s), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                extra = extra + jax.lax.dot_general(
+                    oh_r, qs_ref[pl.ds(sr, band_r), :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                _, cache_e = _mlp_fwd((e_c,), ew, eb, eln_s, eln_b,
+                                      (latent,), cdtype, extra_acc=extra)
             de_c = de_ref[pl.ds(base, chunk), :]
             dmsg = de_c + jax.lax.dot_general(
                 oh_r, dagg_ref[pl.ds(sr, band_r), :].astype(cdtype),
@@ -871,7 +920,7 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             if batch_wgrads:
                 def sink(level, p, dh_l):
                     dh_scr[level][pl.ds(base, chunk), :] = dh_l
-                    if level > 0:
+                    if level > 0 and not save_h:  # posts live in hsave
                         post_scr[level - 1][pl.ds(base, chunk), :] = p
             (de_p,), dew, deb, dge, dbe, dh0 = _mlp_bwd(
                 dmsg, cache_e, (e_c,), ew, eln_s, (latent,), cdtype,
@@ -973,8 +1022,10 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                 esave_ref[0], dh_scr[0][:], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             for lv in range(1, n_layers_e):
+                post_src = (hsave_refs[lv - 1][0] if save_h
+                            else post_scr[lv - 1][:])
                 grad_refs[lv][0] += jax.lax.dot_general(
-                    post_scr[lv - 1][:], dh_scr[lv][:],
+                    post_src, dh_scr[lv][:],
                     (((0,), (0,)), ((), ())), preferred_element_type=f32)
             for lv in range(n_layers_e):
                 grad_refs[n_layers_e + lv][0] += jnp.sum(
@@ -1294,6 +1345,32 @@ def residuals_resident(n: int, e: int, latent: int, dtype,
     return est <= budget
 
 
+def _saveh_active(n: int, e: int, latent: int, dtype, n_layers_e: int,
+                  return_edges: bool) -> bool:
+    """Hidden-activation saving (``_FORCE_SAVEH``): resident-residual,
+    non-return_edges, depth>=2 path only — the forward emits
+    ``n_layers_e - 1`` extra per-round (E, L) stacks and the deferred
+    backward skips its recompute (gathers + MLP) entirely."""
+    if not _FORCE_SAVEH or return_edges or n_layers_e < 2:
+        return False
+    b = 2 if dtype == jnp.bfloat16 else 4
+    weights_b = 2 * 2 * 9 * latent * latent * 4
+    if _FORCE_STREAM_EDGES is not None:
+        stream_e = bool(_FORCE_STREAM_EDGES)
+    else:
+        stream_e = (n * latent * (b + 4) + e * latent * b
+                    + weights_b) > _VMEM_BUDGET
+    if stream_e or _FORCE_STREAM or not residuals_resident(
+            n, e, latent, dtype):
+        return False
+    # the extra double-buffered (E, L) windows must fit on top of the
+    # resident backward estimate
+    extra = 2 * (n_layers_e - 1) * e * latent * b
+    est = 2 * (2 * n + e) * latent * b + (n + e) * latent * b \
+        + n * latent * (4 + b) + weights_b
+    return est + extra <= _VMEM_BUDGET
+
+
 def fused_fits(n: int, e: int, latent: int, dtype,
                kernel_bwd: bool = False,
                budget: Optional[int] = None) -> bool:
@@ -1337,7 +1414,8 @@ def _per_round_spec(shape_rest, mps, reverse=False):
 
 def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                     n_layers_e: int, n_layers_n: int, interpret: bool,
-                    save_residuals: bool = False, return_edges: bool = False):
+                    save_residuals: bool = False, return_edges: bool = False,
+                    save_h: bool = False):
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
@@ -1406,11 +1484,13 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         if save_residuals:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_s
     else:
+        save_h = save_h and save_residuals and not stream
         kernel = _make_kernel(
             n, e, latent, plan.band_s, plan.band_r, plan.chunk,
             n_layers_e, n_layers_n, mps, cdtype,
             save_residuals=save_residuals, stream_saves=stream,
-            return_edges=return_edges, preproject=preproject)
+            return_edges=return_edges, preproject=preproject,
+            save_h=save_h)
 
         out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
         out_specs = [_full_spec((n, latent))]
@@ -1427,6 +1507,11 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                 out_specs += [_per_round_spec((n, latent), mps),
                               _per_round_spec((e, latent), mps),
                               _per_round_spec((n, latent), mps)]
+            if save_h:
+                out_shape += [jax.ShapeDtypeStruct((mps, e, latent), cdtype)
+                              for _ in range(n_layers_e - 1)]
+                out_specs += [_per_round_spec((e, latent), mps)
+                              for _ in range(n_layers_e - 1)]
 
         scratch = [
             pltpu.VMEM((n, latent), cdtype),
@@ -1466,9 +1551,11 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
 
 def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                      g, mps: int, n_layers_e: int, n_layers_n: int,
-                     interpret: bool, ge=None):
+                     interpret: bool, ge=None, hsaves=None):
     """Returns (leaf_grads list, dv0, de0).  ``ge``: optional incoming
-    edge-latent cotangent (the ``return_edges`` forward)."""
+    edge-latent cotangent (the ``return_edges`` forward).  ``hsaves``:
+    per-round hidden-activation stacks the forward saved (``_FORCE_SAVEH``)
+    — the deferred backward then skips its recompute."""
     _, n, latent = vsave.shape
     e = esave.shape[1]
     cdtype = vsave.dtype
@@ -1492,6 +1579,8 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
     # batched weight grads: resident + deferred path only (the stream kernel
     # keeps per-chunk wgrads; (E, L) stacks would defeat its O(chunk) bound)
     wgb = bool(_FORCE_WGB) and defer and not stream
+    # saved hidden activations: consumed only by the deferred resident body
+    save_h = bool(hsaves) and defer and not stream
     if stream:
         kernel = _make_bwd_kernel_stream(
             n, e, latent, plan.band_s, plan.band_r, plan.chunk,
@@ -1501,7 +1590,8 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         kernel = _make_bwd_kernel(
             n, e, latent, plan.band_s, plan.band_r, plan.chunk,
             n_layers_e, n_layers_n, mps, cdtype,
-            with_ge=with_ge, defer_first=defer, batch_wgrads=wgb)
+            with_ge=with_ge, defer_first=defer, batch_wgrads=wgb,
+            save_h=save_h)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
                 _full_spec((n, latent))]
@@ -1514,6 +1604,9 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         in_specs += [_per_round_spec((n, latent), mps, reverse=True),
                      _per_round_spec((e, latent), mps, reverse=True),
                      _per_round_spec((n, latent), mps, reverse=True)]
+    if save_h:
+        in_specs += [_per_round_spec((e, latent), mps, reverse=True)
+                     for _ in range(n_layers_e - 1)]
     in_specs += [_per_round_spec(w.shape[1:], mps, reverse=True)
                  for w in proc_leaves]
 
@@ -1527,8 +1620,10 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                   pl.BlockSpec(memory_space=pltpu.HBM) if stream
                   else _full_spec((e, latent))]
 
-    defer_scr = [pltpu.VMEM((n, latent), jnp.float32)  # ps/qs/G_s/G_r
-                 for _ in range(4)] if defer else []
+    # defer scratch: ps/qs (pre-projected recompute operands — skipped when
+    # the saved activations make the recompute unnecessary) + G_s/G_r
+    defer_scr = [pltpu.VMEM((n, latent), jnp.float32)
+                 for _ in range(2 if save_h else 4)] if defer else []
     if stream:
         scratch = [
             pltpu.VMEM((n, latent), cdtype),  # dv carry
@@ -1550,9 +1645,11 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             pltpu.VMEM((n, latent), jnp.float32),  # dagg
             *defer_scr,
         ]
-        if wgb:  # dh stacks (n_layers_e) + post stacks (n_layers_e - 1)
+        if wgb:  # dh stacks (n_layers_e) + post stacks (n_layers_e - 1;
+            # read from the hsave windows instead when save_h)
             scratch += [pltpu.VMEM((e, latent), cdtype)
-                        for _ in range(2 * n_layers_e - 1)]
+                        for _ in range(n_layers_e if save_h
+                                       else 2 * n_layers_e - 1)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1571,7 +1668,7 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(plan.starts_s, plan.starts_r, *args, vsave, esave, aggsave,
-      *proc_leaves)
+      *(hsaves if save_h else ()), *proc_leaves)
     n_leaves = len(proc_leaves)
     return list(out[:n_leaves]), out[n_leaves], out[n_leaves + 1]
 
@@ -1644,24 +1741,29 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
     if kernel_bwd:
         def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
             leaves = _flatten_proc(proc_params)
+            saveh = _saveh_active(v0.shape[0], e0.shape[0], v0.shape[1],
+                                  v0.dtype, n_layers_e, return_edges)
             out = _pallas_forward(
                 leaves, v0, e0, plan, mps, n_layers_e, n_layers_n, interpret,
-                save_residuals=True, return_edges=return_edges)
+                save_residuals=True, return_edges=return_edges,
+                save_h=saveh)
             if return_edges:
-                v, e, vsave, esave, aggsave = out
+                v, e, vsave, esave, aggsave, *hs = out
                 primal = (v, e)
             else:
-                v, vsave, esave, aggsave = out
+                v, vsave, esave, aggsave, *hs = out
                 primal = v
-            return primal, (proc_params, plan, vsave, esave, aggsave)
+            return primal, (proc_params, plan, vsave, esave, aggsave,
+                            tuple(hs))
 
         def bwd(res, g):
-            proc_params, plan, vsave, esave, aggsave = res
+            proc_params, plan, vsave, esave, aggsave, hs = res
             gv, ge = g if return_edges else (g, None)
             leaves = _flatten_proc(proc_params)
             leaf_grads, dv, de = _pallas_backward(
                 leaves, plan, vsave, esave, aggsave, gv, mps,
-                n_layers_e, n_layers_n, interpret, ge=ge)
+                n_layers_e, n_layers_n, interpret, ge=ge,
+                hsaves=hs or None)
             dp = _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n)
             return dp, dv, de, None, None, None, None
     else:

@@ -454,6 +454,51 @@ def test_fused_deferred_first_layer_backward(defer):
                                        rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("wgb,wt", [(False, False), (True, True)])
+def test_fused_saved_activation_backward(wgb, wt):
+    """Hidden-activation saving (``_FORCE_SAVEH``): the forward saves each
+    round's post-relu hidden activations and the deferred backward skips its
+    recompute (cache rebuilt with one matmul + LN stats).  Gradients must
+    match plain AD — alone and stacked with batched wgrads + transposed
+    adjoint weights."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(47)
+    n, e, latent, mps = 256, 512, 32, 3
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(10), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+
+    F._FORCE_SAVEH = True
+    F._FORCE_WGB = wgb or None
+    F._FORCE_WT = wt or None
+    F._FORCE_DEFER = True
+    F._make_fused.cache_clear()
+    try:
+        g = jax.grad(lambda p, v, e_: jnp.sum(fused_process(
+            p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+            kernel_bwd=True) ** 2), argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_SAVEH = None
+        F._FORCE_WGB = None
+        F._FORCE_WT = None
+        F._FORCE_DEFER = None
+        F._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("hidden", [1, 3])
 def test_fused_nondefault_mlp_depth(hidden):
     """The fused kernels generalize over MLP depth (n_layers lists, per-layer
