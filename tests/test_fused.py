@@ -454,6 +454,39 @@ def test_fused_deferred_first_layer_backward(defer):
                                        rtol=5e-4, atol=5e-4)
 
 
+def test_fused_shipped_latent_128():
+    """Interpret-mode regression at the shipped latent size (128) — all
+    other kernel tests run latent 32; this guards lane/tile-boundary
+    assumptions in the band slicing and weight streaming."""
+    rng = np.random.default_rng(48)
+    n, e, latent, mps = 256, 1024, 128, 2
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n, chunk=512)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps)
+    proc = init_mgn(jax.random.PRNGKey(11), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.float32)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.float32)
+    ev = jnp.ones((e, 1), jnp.float32)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    ref = process_rounds_xla(proc, v0, e0, sj, rj, ev, mps, jnp.float32, n)
+    out = fused_process(proc, v0, e0, plan, sj, rj, ev, mps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+    gref = jax.grad(lambda p, v, e_: jnp.sum(process_rounds_xla(
+        p, v, e_, sj, rj, ev, mps, jnp.float32, n) ** 2),
+        argnums=(0, 1, 2))(proc, v0, e0)
+    g = jax.grad(lambda p, v, e_: jnp.sum(fused_process(
+        p, v, e_, plan, sj, rj, ev, mps, interpret=True,
+        kernel_bwd=True) ** 2), argnums=(0, 1, 2))(proc, v0, e0)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("wgb,wt", [(False, False), (True, True)])
 def test_fused_saved_activation_backward(wgb, wt):
     """Hidden-activation saving (``_FORCE_SAVEH``): the forward saves each
