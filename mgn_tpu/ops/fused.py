@@ -1364,8 +1364,9 @@ def _saveh_active(n: int, e: int, latent: int, dtype, n_layers_e: int,
             n, e, latent, dtype):
         return False
     # the extra double-buffered (E, L) windows must fit on top of the
-    # resident backward estimate
-    extra = 2 * (n_layers_e - 1) * e * latent * b
+    # resident backward estimate; the saved activations are f32 (the f32
+    # master biases promote the pre-activations), hence 4 bytes not b
+    extra = 2 * (n_layers_e - 1) * e * latent * 4
     est = 2 * (2 * n + e) * latent * b + (n + e) * latent * b \
         + n * latent * (4 + b) + weights_b
     return est + extra <= _VMEM_BUDGET
@@ -1508,7 +1509,13 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                               _per_round_spec((e, latent), mps),
                               _per_round_spec((n, latent), mps)]
             if save_h:
-                out_shape += [jax.ShapeDtypeStruct((mps, e, latent), cdtype)
+                # post-relu hidden activations are f32 regardless of the
+                # compute dtype (the f32 master biases promote the
+                # pre-activations), so the save stacks must be f32 too —
+                # a cdtype (bf16) ref rejects the swap and would lose the
+                # exact-recompute-match property besides
+                out_shape += [jax.ShapeDtypeStruct((mps, e, latent),
+                                                   jnp.float32)
                               for _ in range(n_layers_e - 1)]
                 out_specs += [_per_round_spec((e, latent), mps)
                               for _ in range(n_layers_e - 1)]
@@ -1645,11 +1652,14 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             pltpu.VMEM((n, latent), jnp.float32),  # dagg
             *defer_scr,
         ]
-        if wgb:  # dh stacks (n_layers_e) + post stacks (n_layers_e - 1;
-            # read from the hsave windows instead when save_h)
+        if wgb:  # dh stacks (n_layers_e, cdtype cotangents) + post stacks
+            # (n_layers_e - 1, f32 — the activations carry the f32 master
+            # biases' promotion; read from the hsave windows when save_h)
             scratch += [pltpu.VMEM((e, latent), cdtype)
-                        for _ in range(n_layers_e if save_h
-                                       else 2 * n_layers_e - 1)]
+                        for _ in range(n_layers_e)]
+            if not save_h:
+                scratch += [pltpu.VMEM((e, latent), jnp.float32)
+                            for _ in range(n_layers_e - 1)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

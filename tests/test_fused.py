@@ -710,3 +710,70 @@ def test_fused_transposed_adjoint_weights_backward():
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("wgb,saveh", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+def test_fused_bf16_backward_variants(wgb, saveh):
+    """bf16 compute-dtype regression at latent 128 for the backward-layout
+    candidates.  With f32 master weights the in-kernel activations promote
+    to f32 even when ``compute_dtype=bfloat16``; the SAVEH hidden-activation
+    stacks and the WGB post stash must therefore be f32 refs (a bf16 ref
+    rejects the swap — this exact crash shipped undetected because every
+    other kernel-backward test runs f32, where the cast is a no-op)."""
+    import mgn_tpu.ops.fused as F
+
+    rng = np.random.default_rng(49)
+    n, e, latent, mps = 256, 1024, 128, 2
+    s, r = _local_graph(rng, n, e)
+    plan = build_fused_plan(s, r, n, chunk=512)
+    cfg = MGNConfig(node_input_dim=8, edge_input_dim=3, output_dim=2,
+                    latent_size=latent, hidden_layers=2,
+                    message_passing_steps=mps,
+                    compute_dtype=jnp.bfloat16)
+    proc = init_mgn(jax.random.PRNGKey(12), cfg)["processor"]
+    v0 = jnp.asarray(rng.normal(size=(n, latent)), jnp.bfloat16)
+    e0 = jnp.asarray(rng.normal(size=(e, latent)), jnp.bfloat16)
+    ev = jnp.ones((e, 1), jnp.bfloat16)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def loss(p, v, e_, kernel_bwd):
+        out = fused_process(p, v, e_, plan, sj, rj, ev, mps,
+                            interpret=True, kernel_bwd=kernel_bwd)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # reference: the fused custom_vjp's exact XLA-recompute backward on the
+    # identical forward — isolates the kernel backward from bf16 fwd noise
+    gref = jax.grad(lambda p, v, e_: loss(p, v, e_, False),
+                    argnums=(0, 1, 2))(proc, v0, e0)
+
+    F._FORCE_WGB = wgb or None
+    F._FORCE_SAVEH = saveh or None
+    F._FORCE_DEFER = True if (wgb or saveh) else None
+    F._make_fused.cache_clear()
+    try:
+        g = jax.grad(lambda p, v, e_: loss(p, v, e_, True),
+                     argnums=(0, 1, 2))(proc, v0, e0)
+    finally:
+        F._FORCE_WGB = None
+        F._FORCE_SAVEH = None
+        F._FORCE_DEFER = None
+        F._make_fused.cache_clear()
+    # bf16 cotangent carries make elementwise closeness the wrong metric
+    # (different op orderings draw different rounding noise); gradient
+    # *direction* must agree (docs/performance.md: cosine 0.999+).  The
+    # f32 run of every variant is exact to 1e-6, so structural breakage
+    # (which is O(1) here too) still trips this.
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        a64 = np.asarray(a, np.float64).ravel()
+        b64 = np.asarray(b, np.float64).ravel()
+        nb = np.linalg.norm(b64)
+        if nb < 1e-6:
+            assert np.linalg.norm(a64) < 1e-3
+            continue
+        cos = np.dot(a64, b64) / (np.linalg.norm(a64) * nb)
+        rel = np.linalg.norm(a64 - b64) / nb
+        # parameter grads measure cos >= 0.999; the e0/v0 input cotangents
+        # (bf16 de/dv carries across rounds) are the documented noisy tail
+        # (cos 0.99+, docs/performance.md) — bound everything there
+        assert cos > 0.99 and rel < 0.15, (cos, rel)
