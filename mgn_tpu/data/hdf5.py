@@ -173,6 +173,57 @@ def _place(dest: np.ndarray, data: np.ndarray, node_idx, coord, tl: int) -> None
                 fail("scalar or (1,)")
 
 
+def read_structure(path: str, traj_key: str, meta: Dict[str, Any]):
+    """Shape-only probe: ``(num_nodes, cells, edges)`` without reading any
+    field data — used to size shared buckets over EVERY trajectory cheaply
+    (heterogeneous datasets like airfoil vary mesh size per trajectory).
+    ``edges`` is the UNfiltered custom-edges list (an upper bound on the
+    filtered count, which is all bucketing needs).  Returns ``None`` when the
+    layout defeats the cheap probe (regex-only keys) — callers fall back to a
+    full read."""
+    dims = meta["dims"]
+    grid = isinstance(dims, (list, tuple))
+    with h5py.File(path, "r") as f:
+        traj = f[traj_key]
+        n_nodes = grid_num_nodes(meta)
+        if n_nodes is None:
+            order = ["mesh_pos"] + [fn for fn in meta["feature_names"]
+                                    if fn not in ("mesh_pos", "cells")]
+            for fn in order:
+                if fn not in meta["features"]:
+                    continue
+                key = meta["features"][fn].get("key", fn)
+                if key in traj:
+                    shp = traj[key].shape
+                    if meta["features"][fn].get("type", "static") == "static":
+                        n_nodes = shp[0] if len(shp) <= 2 else shp[1]
+                    else:
+                        n_nodes = shp[1] if len(shp) >= 2 else 1
+                    break
+            if n_nodes is None:
+                return None
+        cells = None
+        edges = None
+        if "cells" in meta.get("feature_names", ()):
+            key = meta["features"].get("cells", {}).get("key", "cells")
+            if key in traj:
+                c = np.asarray(traj[key])
+                cells = c.reshape(-1, c.shape[-1]).astype(np.int32)
+        if "custom_edges" in meta:
+            ek = meta["custom_edges"]
+            if ek not in traj:
+                return None
+            edges = np.asarray(traj[ek]).reshape(-1, 2).astype(np.int32)
+        elif cells is None and grid:
+            from mgn_tpu.core.graph import grid_edges
+
+            s, r = grid_edges(dims, node_type=None, no_edges_node_types=())
+            edges = np.stack([s, r], axis=1)
+        if cells is None and edges is None:
+            return None
+    return int(n_nodes), cells, edges
+
+
 def read_trajectory(
     path: str, traj_key: str, meta: Dict[str, Any]
 ) -> Dict[str, np.ndarray]:

@@ -80,12 +80,26 @@ def _canonicalize(raw: Dict[str, np.ndarray], meta: Dict[str, Any]) -> Trajector
                       fields=fields, cells=cells, edges=edges, extras=extras)
 
 
+@dataclasses.dataclass
+class TrajectoryStructure:
+    """Shape-only view of a trajectory (bucket sizing without field I/O).
+    Duck-typed against :class:`Trajectory` for ``common_buckets``."""
+
+    num_nodes: int
+    cells: Optional[np.ndarray] = None
+    edges: Optional[np.ndarray] = None
+
+
 class _Reader:
     def __len__(self) -> int:
         raise NotImplementedError
 
     def read(self, i: int) -> Trajectory:
         raise NotImplementedError
+
+    def read_structure(self, i: int) -> Optional[TrajectoryStructure]:
+        """Cheap shape probe; None means 'needs a full read'."""
+        return None
 
 
 class _H5Reader(_Reader):
@@ -102,6 +116,14 @@ class _H5Reader(_Reader):
         with self._lock:  # serialize HDF5 handle access (cf. reference's ReentrantLock)
             raw = hdf5_reader.read_trajectory(self.path, self.keys[i], self.meta)
         return _canonicalize(raw, self.meta)
+
+    def read_structure(self, i: int) -> Optional[TrajectoryStructure]:
+        with self._lock:
+            st = hdf5_reader.read_structure(self.path, self.keys[i], self.meta)
+        if st is None:
+            return None
+        n, cells, edges = st
+        return TrajectoryStructure(num_nodes=n, cells=cells, edges=edges)
 
 
 class _TFRecordReader(_Reader):
@@ -135,6 +157,21 @@ class _TFRecordReader(_Reader):
         out["times"] = np.arange(tl, dtype=np.float32) * np.float32(self.meta["dt"])
         return _canonicalize(out, self.meta)
 
+    def read_structure(self, i: int) -> Optional[TrajectoryStructure]:
+        off, ln = self._offsets[i]
+        example = tfr.parse_example(self._data[off : off + ln],
+                                    keys={"mesh_pos", "cells"})
+        raw = tfr.parse_trajectory(example, self.meta)
+        if "mesh_pos" not in raw or "cells" not in raw:
+            return None
+        mp = raw["mesh_pos"]
+        cells = np.asarray(raw["cells"], np.int32)
+        if cells.ndim == 3:
+            cells = cells[0]
+        return TrajectoryStructure(
+            num_nodes=int(mp.shape[1] if mp.ndim == 3 else mp.shape[0]),
+            cells=cells)
+
 
 class Dataset:
     """Train/valid (or test) split pair with caching and prefetch.
@@ -152,6 +189,7 @@ class Dataset:
         self._reader = reader
         self._reader_valid = reader_valid
         self._cache: Dict[tuple, Trajectory] = {}
+        self._structures: Dict[tuple, TrajectoryStructure] = {}
         self._use_cache = cache
         self._prefetch = prefetch
         self.num_trajectories = len(reader)
@@ -166,6 +204,22 @@ class Dataset:
         if self._use_cache:
             self._cache[key] = traj
         return traj
+
+    def structure(self, i: int, valid: bool = False) -> TrajectoryStructure:
+        """Shape-only trajectory view (num_nodes + connectivity) — cheap
+        enough to scan over EVERY trajectory for bucket sizing."""
+        n = self.num_valid if valid else self.num_trajectories
+        key = ("sv" if valid else "st", i % n)
+        if key in self._structures:
+            return self._structures[key]
+        reader = self._reader_valid if valid else self._reader
+        st = reader.read_structure(key[1])
+        if st is None:  # layout defeats the cheap probe: full read
+            t = self.trajectory(i, valid=valid)
+            st = TrajectoryStructure(num_nodes=t.num_nodes, cells=t.cells,
+                                     edges=t.edges)
+        self._structures[key] = st
+        return st
 
     def iter_train(self, epochs: Optional[int] = None) -> Iterator[Trajectory]:
         """Round-robin over training trajectories with background prefetch."""

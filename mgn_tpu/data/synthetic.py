@@ -103,23 +103,35 @@ def write_synthetic_dataset(
     n_test: int = 2,
     dt: float = 0.01,
     seed: int = 0,
+    num_nodes_per_traj=None,
 ) -> Dict:
     """Write meta.json + train/valid/test .h5 files; returns the meta dict.
 
-    All trajectories share one mesh (like the fixed-topology datasets); each
-    gets an independent flow field.
+    By default all trajectories share one mesh (like the fixed-topology
+    datasets); ``num_nodes_per_traj`` (a sequence, cycled per split index)
+    gives each trajectory its own mesh size — the heterogeneous-dataset case
+    (airfoil-class) used by the bucket-probing tests.
     """
     os.makedirs(path, exist_ok=True)
-    pos, cells, node_type = make_channel_mesh(num_nodes, seed)
     meta = synthetic_meta(tl, n_train, n_valid, dt)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
+
+    meshes: Dict[int, tuple] = {}
+
+    def mesh_for(i: int):
+        size = (num_nodes if num_nodes_per_traj is None
+                else int(num_nodes_per_traj[i % len(num_nodes_per_traj)]))
+        if size not in meshes:
+            meshes[size] = make_channel_mesh(size, seed)
+        return meshes[size]
 
     splits = {"train": n_train, "valid": n_valid, "test": n_test}
     k = 0
     for split, n in splits.items():
         with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
             for i in range(n):
+                pos, cells, node_type = mesh_for(i)
                 g = f.create_group(str(i))
                 g["cells"] = cells
                 g["mesh_pos"] = pos

@@ -120,8 +120,12 @@ def _parse_feature(buf: bytes) -> Any:
     return b""
 
 
-def parse_example(payload: bytes) -> Dict[str, Any]:
-    """tf.train.Example payload -> {feature_name: bytes | ndarray}."""
+def parse_example(payload: bytes, keys=None) -> Dict[str, Any]:
+    """tf.train.Example payload -> {feature_name: bytes | ndarray}.
+
+    ``keys``: optional set of feature names to decode — other features are
+    skipped without copying their payload bytes (cheap structure probes over
+    every record, e.g. bucket sizing)."""
     out: Dict[str, Any] = {}
     for field, _, val in _iter_fields(payload):
         if field != 1:  # Example.features
@@ -130,14 +134,14 @@ def parse_example(payload: bytes) -> Dict[str, Any]:
             if f2 != 1:  # Features.feature map entry
                 continue
             key = None
-            feat = None
+            raw = None
             for f3, _, v3 in _iter_fields(entry):
                 if f3 == 1:
                     key = v3.decode("utf-8")
                 elif f3 == 2:
-                    feat = _parse_feature(v3)
-            if key is not None:
-                out[key] = feat
+                    raw = v3
+            if key is not None and (keys is None or key in keys):
+                out[key] = _parse_feature(raw) if raw is not None else b""
     return out
 
 

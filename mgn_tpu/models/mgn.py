@@ -87,7 +87,7 @@ def init_mgn(key: jax.Array, cfg: MGNConfig) -> Dict[str, Any]:
 
 
 def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
-                     kernel_bwd: bool) -> bool:
+                     kernel_bwd: bool, hidden_layers: int = 2) -> bool:
     """Can the fused kernels (resident or HBM-streaming variants) run this
     mesh?  Over-budget graphs silently take the unfused path instead of
     dying in a Mosaic scoped-vmem OOM.  Delegates to
@@ -96,7 +96,9 @@ def _fused_fits_vmem(n: int, e: int, latent: int, dtype,
     meshes; only the O(N·L) node-side state bounds the mesh size)."""
     from mgn_tpu.ops.fused import fused_fits
 
-    return fused_fits(n, e, latent, dtype, kernel_bwd=kernel_bwd)
+    return fused_fits(n, e, latent, dtype, kernel_bwd=kernel_bwd,
+                      n_layers_e=hidden_layers + 1,
+                      n_layers_n=hidden_layers + 1)
 
 
 def apply_mgn(
@@ -124,7 +126,7 @@ def apply_mgn(
 
     if cfg.fused and fused_plan is not None and _fused_fits_vmem(
             n_pad, graph.edge_features.shape[0], cfg.latent_size, dt,
-            bool(cfg.fused_backward)):
+            bool(cfg.fused_backward), cfg.hidden_layers):
         from mgn_tpu.ops.fused import fused_process
 
         interpret = jax.default_backend() != "tpu"
