@@ -83,6 +83,13 @@ class Args:
     # routes train_network through the SPMD halo-exchange step
     graph_parallel: int = 1
     prefetch: int = 2
+    # cap on DEVICE-resident cached trajectory data (prepared field stacks /
+    # partitioned templates), LRU-evicted beyond this.  Bounds HBM use on
+    # real-size datasets (CylinderFlow: 1000 trajectories ~ 9 GB of velocity
+    # alone) — the raw host-side Trajectory cache is separate (numpy RAM,
+    # mirroring the reference's in-memory caching at
+    # /root/reference/src/dataset.jl:556-583)
+    cache_bytes: int = 4 << 30
 
     # --- logging ---
     wandb_logger: Any = None  # optional; structured JSONL metrics are native
