@@ -163,6 +163,7 @@ def odeint_tsit5_adaptive(
     dt0: float | None = None,
     max_steps_per_interval: int = 1000,
     safety: float = 0.9,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Adaptive Tsit5 with PI controller, stepping exactly onto save points.
 
@@ -171,13 +172,24 @@ def odeint_tsit5_adaptive(
     adaptive substeps in between.  ``saveat`` may be any monotone grid.
     Not differentiable (while_loop); use ``odeint_fixed`` or
     ``odeint_tsit5_bounded`` (train/adaptive.py) for training.
+
+    ``axis_name``: when the state is SHARDED over a mesh axis (graph-parallel
+    rollout, ``parallel/rollout.py``), the error norm must be global — every
+    shard must take identical accept/step-size decisions or the collectives
+    inside ``f`` would desynchronize.  Pass the mesh axis to ``psum`` the
+    norm across shards.
     """
     h0 = jnp.asarray(dt0 if dt0 is not None else saveat[1] - saveat[0],
                      jnp.float32)
 
     def err_norm(err, y, ynew):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+        sq = (err / scale) ** 2
+        if axis_name is None:
+            return jnp.sqrt(jnp.mean(sq))
+        s = jax.lax.psum(jnp.sum(sq), axis_name)
+        cnt = jax.lax.psum(jnp.asarray(sq.size, jnp.float32), axis_name)
+        return jnp.sqrt(s / cnt)
 
     def advance_to(y, t_start, t_end, h_init, err_init):
         # step-size clip scale: the CURRENT save interval's width, so a
@@ -236,6 +248,7 @@ def odeint_tsit5_bounded(
     substeps_max: int = 8,
     safety: float = 0.9,
     remat: bool = False,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Differentiable adaptive Tsit5: a **static** budget of ``substeps_max``
     controller-driven steps per save interval under ``lax.scan``.
@@ -261,7 +274,14 @@ def odeint_tsit5_bounded(
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
         # +tiny inside the sqrt keeps the gradient finite at err == 0 (the
         # no-op steps); e itself is stop_gradient-ed anyway
-        return jnp.sqrt(jnp.mean((err / scale) ** 2) + 1e-24)
+        sq = (err / scale) ** 2
+        if axis_name is None:
+            return jnp.sqrt(jnp.mean(sq) + 1e-24)
+        # sharded state: identical global decisions on every shard (see
+        # odeint_tsit5_adaptive)
+        s = jax.lax.psum(jnp.sum(sq), axis_name)
+        cnt = jax.lax.psum(jnp.asarray(sq.size, jnp.float32), axis_name)
+        return jnp.sqrt(s / cnt + 1e-24)
 
     def one_interval(carry, interval):
         t0, t1 = interval
