@@ -31,6 +31,7 @@ __all__ = [
     "normalize",
     "inverse",
     "accumulate",
+    "accumulate_synced",
     "accumulate_tree",
     "cross_replica_sync",
     "normalizers_from_meta",
@@ -180,6 +181,13 @@ def cross_replica_sync(norm: Normalizer, axis_name: str) -> Normalizer:
 
     New capability vs the single-device reference (SURVEY §2.3): keeps online
     statistics identical on every shard.
+
+    **ONE-TIME merge only**: this psums the FULL accumulators, so applying it
+    to already-synced state multiplies the sums by the axis size — repeated
+    per-step syncing overflows f32 within ~40 steps (mean/std stay correct
+    until then because numerator and denominator scale together, which is how
+    the bug hid).  Inside a training step, use :func:`accumulate_synced`,
+    which psums only the new batch's contribution.
     """
     if not isinstance(norm, Online):
         return norm
@@ -188,6 +196,42 @@ def cross_replica_sync(norm: Normalizer, axis_name: str) -> Normalizer:
         num_accumulations=jax.lax.psum(norm.num_accumulations, axis_name),
         acc_sum=jax.lax.psum(norm.acc_sum, axis_name),
         acc_sum_sq=jax.lax.psum(norm.acc_sum_sq, axis_name),
+    )
+
+
+def accumulate_synced(norm: Normalizer, x: jax.Array, mask=None,
+                      axis_name=None, training: bool = True) -> Normalizer:
+    """Accumulate one batch with its sums ``psum``'d across ``axis_name``.
+
+    The repeat-safe sibling of ``accumulate`` + ``cross_replica_sync``: only
+    the NEW batch's masked sums cross the axis, so already-synced state stays
+    exact under arbitrarily many steps (every shard must call this the same
+    number of times with its local shard of the batch).  ``axis_name`` may be
+    a name or a tuple of names; ``None`` degrades to plain ``accumulate``.
+    """
+    if not isinstance(norm, Online) or not training:
+        return norm
+    if axis_name is None:
+        return norm.update(x, mask)
+    if x.ndim == 1:
+        x = x[:, None]
+    x = x.astype(jnp.float32)
+    if mask is None:
+        m = jnp.ones((x.shape[0],), jnp.float32)
+    else:
+        m = mask.reshape(-1).astype(jnp.float32)
+    # acc_count advances once per call and is already identical on every
+    # shard, so it needs no collective
+    live = (norm.acc_count < norm.max_acc).astype(jnp.float32)
+    w = m * live
+    return norm.replace(
+        acc_count=norm.acc_count + live,
+        num_accumulations=norm.num_accumulations
+        + live * jax.lax.psum(jnp.sum(m), axis_name),
+        acc_sum=norm.acc_sum
+        + jax.lax.psum(jnp.sum(x * w[:, None], axis=0), axis_name),
+        acc_sum_sq=norm.acc_sum_sq
+        + jax.lax.psum(jnp.sum(x * x * w[:, None], axis=0), axis_name),
     )
 
 

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.parallel.halo import apply_mgn_sharded
 from mgn_tpu.parallel.partition import PartitionedTemplate
-from mgn_tpu.parallel.spmd import _global_ids
+from mgn_tpu.parallel.spmd import _global_ids, _partition_stack
 from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_adaptive
 from mgn_tpu.train.common import FieldSpec, NormState, type_mask, unpack_fields
 
@@ -46,12 +46,8 @@ __all__ = ["partition_stack", "sharded_rollout_batch",
 
 def partition_stack(p: PartitionedTemplate, arr: np.ndarray) -> np.ndarray:
     """(T, N, dim) original-order stack -> (P, T, N_p, dim) padded part layout
-    (the time-stacked sibling of ``spmd._partition_frame``)."""
-    t, n, d = arr.shape
-    flat = np.zeros((t, p.num_parts * p.part_nodes, d), np.float32)
-    flat[:, _global_ids(p, n)] = arr
-    return np.ascontiguousarray(
-        flat.reshape(t, p.num_parts, p.part_nodes, d).transpose(1, 0, 2, 3))
+    (delegates to the canonical ``spmd._partition_stack``)."""
+    return _partition_stack(p, arr)
 
 
 def unpermute_sharded(p: PartitionedTemplate, pred, num_nodes: int) -> np.ndarray:

@@ -91,21 +91,20 @@ def make_derivative_trainer(
             u[f] = frame
 
         # normalizer accumulation (the trainmode side effect of the reference's
-        # normalizer calls in build_graph / o_norm)
+        # normalizer calls in build_graph / o_norm); under sync_axis only the
+        # per-step deltas cross the mesh (repeat-safe — see
+        # normalizers.cross_replica_sync)
         node_norms = dict(state.norm.node)
         for f in spec.fields:
-            node_norms[f] = N.accumulate(node_norms[f], u[f], node_mask_f)
+            node_norms[f] = N.accumulate_synced(node_norms[f], u[f],
+                                                node_mask_f, cfg.sync_axis)
         out_norms = dict(state.norm.output)
         for f in spec.target_fields:
-            out_norms[f] = N.accumulate(out_norms[f], targets_raw[f], node_mask_f)
-        edge_norm = N.accumulate(state.norm.edge, template.mesh_edge_features,
-                                 template.edge_mask)
-        if cfg.sync_axis is not None:
-            edge_norm = N.cross_replica_sync(edge_norm, cfg.sync_axis)
-            node_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
-                          for k, v in node_norms.items()}
-            out_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
-                         for k, v in out_norms.items()}
+            out_norms[f] = N.accumulate_synced(out_norms[f], targets_raw[f],
+                                               node_mask_f, cfg.sync_axis)
+        edge_norm = N.accumulate_synced(state.norm.edge,
+                                        template.mesh_edge_features,
+                                        template.edge_mask, cfg.sync_axis)
         norm = NormState(edge=edge_norm, node=node_norms, output=out_norms)
 
         target = jnp.concatenate(
@@ -288,20 +287,19 @@ def make_union_derivative_trainer(
                     targets_raw[f] = (nxt - frame) / dt
             u[f] = frame
 
+        # per-step deltas psum'd under sync_axis (repeat-safe — see
+        # normalizers.cross_replica_sync)
         node_norms = dict(state.norm.node)
         for f in spec.fields:
-            node_norms[f] = N.accumulate(node_norms[f], u[f], node_mask)
+            node_norms[f] = N.accumulate_synced(node_norms[f], u[f],
+                                                node_mask, cfg.sync_axis)
         out_norms = dict(state.norm.output)
         for f in spec.target_fields:
-            out_norms[f] = N.accumulate(out_norms[f], targets_raw[f], node_mask)
-        edge_norm = N.accumulate(state.norm.edge, template.mesh_edge_features,
-                                 template.edge_mask)
-        if cfg.sync_axis is not None:
-            edge_norm = N.cross_replica_sync(edge_norm, cfg.sync_axis)
-            node_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
-                          for k, v in node_norms.items()}
-            out_norms = {k: N.cross_replica_sync(v, cfg.sync_axis)
-                         for k, v in out_norms.items()}
+            out_norms[f] = N.accumulate_synced(out_norms[f], targets_raw[f],
+                                               node_mask, cfg.sync_axis)
+        edge_norm = N.accumulate_synced(state.norm.edge,
+                                        template.mesh_edge_features,
+                                        template.edge_mask, cfg.sync_axis)
         norm = NormState(edge=edge_norm, node=node_norms, output=out_norms)
 
         target = jnp.concatenate(

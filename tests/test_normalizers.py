@@ -81,6 +81,33 @@ def test_cross_replica_sync_on_virtual_mesh():
     assert np.allclose(np.asarray(out.mean), xs.mean())
 
 
+def test_accumulate_synced_repeat_safe():
+    """accumulate_synced over many steps == one global single-stream
+    accumulation — regression for the f32 overflow where per-step
+    cross_replica_sync multiplied the accumulators by the axis size each
+    step (mean/std stayed correct until ~step 40, then went NaN)."""
+    ndev = len(jax.devices())
+    steps = 50
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(steps, ndev, 4, 2)).astype(np.float32)
+
+    def f(x_steps):  # x_steps: (steps, 4, 2) local shard
+        def body(st, x):
+            return N.accumulate_synced(st, x, None, "d"), 0
+        st, _ = jax.lax.scan(body, N.Online.create(2), x_steps)
+        return st
+
+    out = jax.pmap(f, axis_name="d")(jnp.asarray(xs).transpose(1, 0, 2, 3))
+    flat = xs.reshape(-1, 2)
+    assert np.allclose(np.asarray(out.num_accumulations), len(flat))
+    st0 = jax.tree.map(lambda a: a[0], out)  # shard 0's (global) statistics
+    assert np.allclose(np.asarray(st0.mean), flat.mean(0), atol=1e-5)
+    assert np.allclose(np.asarray(st0.std), flat.std(0), atol=1e-4)
+    # the broken pattern overflowed acc_sum_sq by ndev**steps; exact sums now
+    assert np.allclose(np.asarray(st0.acc_sum_sq), (flat ** 2).sum(0),
+                       rtol=1e-5)
+
+
 def meta_cylinder():
     return {
         "dims": 2,

@@ -109,7 +109,7 @@ def test_spmd_derivative_step_runs():
     times = np.arange(6, dtype=np.float32) * 0.01
     batch, bs, _ = batch_from_partitioned(
         [pt, pt], [{"velocity": vel}, {"velocity": vel}],
-        [times, times], frames=np.array([0, 2]))
+        [times, times])
     assert bs is None  # no halo plan on this template
 
     mesh = make_device_mesh(2, 4)
@@ -125,9 +125,11 @@ def test_spmd_derivative_step_runs():
     step = make_spmd_derivative_step(mesh, cfg, meta_spec, opt,
                                      noise_stddevs=(0.01,), norm_steps=0)
     tree = batch.tree()
-    st, loss = step(state, tree, jax.random.PRNGKey(0))
-    assert np.isfinite(float(loss))
-    assert int(st.step) == 1
+    # two updates scanned in one dispatch (multi-frame window scan)
+    perms = jnp.asarray([[0, 2], [1, 3]], jnp.int32)
+    st, losses = step(state, tree, perms, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(losses))) and losses.shape == (2,)
+    assert int(st.step) == 2
     # params actually updated (norm_steps=0)
     diff = jax.tree.reduce(lambda a, b: a + b,
                            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
@@ -158,7 +160,7 @@ def test_spmd_step_halo_split_matches_allgather():
     def run(template, boundary_start):
         batch, bs, _ = batch_from_partitioned(
             [template, template], [{"velocity": vel}] * 2,
-            [times, times], frames=np.array([1, 3]))
+            [times, times])
         assert bs == boundary_start
         mesh = make_device_mesh(2, 4)
         state = TrainState(
@@ -171,8 +173,9 @@ def test_spmd_step_halo_split_matches_allgather():
         step = make_spmd_derivative_step(mesh, cfg, meta_spec, opt,
                                          noise_stddevs=(0.01,), norm_steps=0,
                                          boundary_start=bs)
-        st, loss = step(state, batch.tree(), jax.random.PRNGKey(7))
-        return float(loss), st.params
+        perms = jnp.asarray([[1, 3]], jnp.int32)
+        st, losses = step(state, batch.tree(), perms, jax.random.PRNGKey(7))
+        return float(losses[0]), st.params
 
     loss_ag, p_ag = run(pt, None)
     loss_halo, p_halo = run(pth, pth.boundary_start)
@@ -282,7 +285,7 @@ def test_spmd_step_fused_matches_allgather():
     def run(template, cfg):
         batch, bs, fused_static = batch_from_partitioned(
             [template, template], [{"velocity": vel}] * 2,
-            [times, times], frames=np.array([1, 3]))
+            [times, times])
         mesh = make_device_mesh(2, 4)
         state = TrainState(
             params=params, opt_state=opt.init(params),
@@ -295,8 +298,9 @@ def test_spmd_step_fused_matches_allgather():
                                          noise_stddevs=(0.01,), norm_steps=0,
                                          boundary_start=bs,
                                          fused_static=fused_static)
-        st, loss = step(state, batch.tree(), jax.random.PRNGKey(7))
-        return float(loss), st.params
+        perms = jnp.asarray([[1, 3]], jnp.int32)
+        st, losses = step(state, batch.tree(), perms, jax.random.PRNGKey(7))
+        return float(losses[0]), st.params
 
     # reference: all-gather on the unplanned template (fused off)
     loss_ag, p_ag = run(pt, make_cfg())
