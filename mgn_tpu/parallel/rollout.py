@@ -41,7 +41,8 @@ from mgn_tpu.rollout.integrators import odeint_fixed, odeint_tsit5_adaptive
 from mgn_tpu.train.common import FieldSpec, NormState, type_mask, unpack_fields
 
 __all__ = ["partition_stack", "sharded_rollout_batch",
-           "make_sharded_rollout_fn", "unpermute_sharded"]
+           "make_sharded_rollout_fn", "unpermute_sharded",
+           "shard_parts", "make_shard_deriv", "BATCH_AXES"]
 
 
 def partition_stack(p: PartitionedTemplate, arr: np.ndarray) -> np.ndarray:
@@ -94,6 +95,121 @@ def sharded_rollout_batch(
     return out
 
 
+def BATCH_AXES(axis_name: str, lead=()):  # noqa: N802 — spec-table factory
+    """Canonical PartitionSpecs for a sharded batch tree's keys; ``lead``
+    prepends axes (e.g. ``("data",)`` for trajectory-batched trees)."""
+    keys = ("node_type_onehot", "mesh_edge_features", "senders_global",
+            "receivers_local", "node_mask", "edge_mask", "node_type",
+            "halo_serve", "senders_halo", "row_offsets_int",
+            "row_offsets_bnd", "fused_rel_s", "fused_rel_r",
+            "fused_starts_s", "fused_starts_r")
+    return {k: P(*lead, axis_name) for k in keys}
+
+
+def shard_parts(b: Dict[str, Any], model_cfg: MGNConfig,
+                types_updated: Tuple[int, ...],
+                types_inflow: Tuple[int, ...],
+                boundary_start: Optional[int],
+                fused_static: Optional[Tuple[int, int, int, int]]):
+    """Decode one shard's static graph pieces (masks, exchange mode, fused
+    plan) from a sharded batch tree whose leading part axis is already
+    squeezed.  Shared by the sharded rollout and the graph-parallel solver
+    trainer (parallel/spmd.make_spmd_solver_step)."""
+    node_mask = b["node_mask"]
+    node_type = b["node_type"]
+    use_halo = "halo_serve" in b
+    use_split = use_halo and "row_offsets_int" in b \
+        and boundary_start is not None
+    use_fused = (use_halo and "fused_rel_s" in b
+                 and fused_static is not None and model_cfg.fused)
+    plan, ext = None, 0
+    if use_fused:
+        from mgn_tpu.ops.fused import FusedPlan
+
+        band_s, band_r, chunk, ext = fused_static
+        plan = FusedPlan(rel_s=b["fused_rel_s"], rel_r=b["fused_rel_r"],
+                         starts_s=b["fused_starts_s"],
+                         starts_r=b["fused_starts_r"],
+                         band_s=band_s, band_r=band_r, chunk=chunk)
+    return {
+        "node_mask": node_mask,
+        "edge_mask": b["edge_mask"],
+        "node_type": node_type,
+        "nto": b["node_type_onehot"],
+        "mef": b["mesh_edge_features"],
+        "sg": b["senders_global"],
+        "rl": b["receivers_local"],
+        "val_mask": (type_mask(node_type, types_updated) & node_mask
+                     ).astype(jnp.float32),
+        "inflow_mask": type_mask(node_type, types_inflow) & node_mask,
+        "use_halo": use_halo,
+        "use_split": use_split,
+        "plan": plan,
+        "ext": ext,
+        "halo_serve": b.get("halo_serve"),
+        "senders_halo": b.get("senders_halo"),
+        "row_offsets_int": b.get("row_offsets_int"),
+        "row_offsets_bnd": b.get("row_offsets_bnd"),
+    }
+
+
+def make_shard_deriv(parts, params, norm: NormState, spec: FieldSpec,
+                     model_cfg: MGNConfig, gt: jax.Array, ftimes: jax.Array,
+                     non_target: Dict[str, jax.Array], forced: bool,
+                     axis_name: str, boundary_start: Optional[int]):
+    """Build the shard-local ODE right-hand side (the sharded sibling of
+    rollout/dynamics.make_deriv_fn): normalize state + frozen fields, run the
+    halo-exchange forward (apply_mgn_sharded), de-normalize per target field
+    with absolute-mode relaxation, mask to updated nodes.  Returns
+    ``(deriv, frame_of)``."""
+    eps = (1e-4 * jnp.min(jnp.diff(ftimes)) if ftimes.shape[0] > 1
+           else jnp.float32(0.0))
+
+    def frame_of(t):
+        return jnp.clip(
+            jnp.searchsorted(ftimes, t + eps, side="right") - 1,
+            0, ftimes.shape[0] - 1).astype(jnp.int32)
+
+    use_split = parts["use_split"]
+
+    def deriv(y, t):
+        if forced:
+            idx = frame_of(t)
+            g_t = jax.lax.dynamic_index_in_dim(gt, idx, 0, keepdims=False)
+            y = jnp.where(parts["inflow_mask"][:, None], g_t, y)
+        values = dict(non_target)
+        values.update(unpack_fields(y, spec))
+        nf_parts = [norm.node[f](values[f]) for f in spec.fields]
+        nf_parts.append(norm.node["node_type"](parts["nto"]))
+        nf = jnp.concatenate(nf_parts, -1) * parts["node_mask"][:, None]
+        ef = norm.edge(parts["mef"]) * parts["edge_mask"][:, None]
+        out = apply_mgn_sharded(
+            params, nf, ef, parts["sg"], parts["rl"],
+            parts["node_mask"], parts["edge_mask"], model_cfg,
+            axis_name=axis_name,
+            halo_serve=parts["halo_serve"] if parts["use_halo"] else None,
+            senders_halo=parts["senders_halo"] if parts["use_halo"] else None,
+            boundary_start=boundary_start if use_split else None,
+            row_offsets_int=parts["row_offsets_int"] if use_split else None,
+            row_offsets_bnd=parts["row_offsets_bnd"] if use_split else None,
+            fused_plan=parts["plan"],
+            ext_nodes=parts["ext"],
+        )
+        dparts = []
+        for ti, (f, sl) in enumerate(zip(spec.target_fields,
+                                         spec.target_slices())):
+            pred = norm.output[f].inverse(out[:, sl])
+            if spec.mode(ti) == "absolute":
+                k = jnp.minimum(frame_of(t), ftimes.shape[0] - 2)
+                local_dt = jnp.take(ftimes, k + 1) - jnp.take(ftimes, k)
+                dparts.append((pred - y[..., sl]) / local_dt)
+            else:
+                dparts.append(pred)
+        return jnp.concatenate(dparts, -1) * parts["val_mask"][:, None]
+
+    return deriv, frame_of
+
+
 def make_sharded_rollout_fn(
     mesh: Mesh,
     model_cfg: MGNConfig,
@@ -132,85 +248,30 @@ def make_sharded_rollout_fn(
     def local_rollout(params, norm: NormState, b: Dict[str, Any],
                       times: jax.Array, forcing_times: jax.Array):
         sq = lambda x: x[0]  # (1, ...) local shard -> (...)
-        node_mask = sq(b["node_mask"])
-        node_type = sq(b["node_type"])
-        edge_mask = sq(b["edge_mask"])
-        nto = sq(b["node_type_onehot"])
-        mef = sq(b["mesh_edge_features"])
-        sg_idx = sq(b["senders_global"])
-        rl = sq(b["receivers_local"])
-        n_p = node_mask.shape[0]
-        val_mask = (type_mask(node_type, types_updated) & node_mask
-                    ).astype(jnp.float32)
-        inflow_mask = type_mask(node_type, types_inflow) & node_mask
+        bsq = {k: (sq(v) if k != "fields"
+                   else {f: sq(a) for f, a in v.items()})
+               for k, v in b.items()}
+        parts = shard_parts(bsq, model_cfg, types_updated, types_inflow,
+                            boundary_start, fused_static)
+        val_mask = parts["val_mask"]
 
-        use_halo = "halo_serve" in b
-        use_split = use_halo and "row_offsets_int" in b \
-            and boundary_start is not None
-        use_fused = (use_halo and "fused_rel_s" in b
-                     and fused_static is not None and model_cfg.fused)
-        plan, ext = None, 0
-        if use_fused:
-            from mgn_tpu.ops.fused import FusedPlan
-
-            band_s, band_r, chunk, ext = fused_static
-            plan = FusedPlan(rel_s=sq(b["fused_rel_s"]),
-                             rel_r=sq(b["fused_rel_r"]),
-                             starts_s=sq(b["fused_starts_s"]),
-                             starts_r=sq(b["fused_starts_r"]),
-                             band_s=band_s, band_r=band_r, chunk=chunk)
-
-        fields = {f: sq(b["fields"][f]) for f in spec.fields}  # (T, N_p, d)
+        fields = bsq["fields"]  # (T, N_p, d) each
         gt = jnp.concatenate([fields[f] for f in spec.target_fields], -1)
         ftimes = forcing_times  # timestamps of the data frames
-        eps = (1e-4 * jnp.min(jnp.diff(ftimes)) if ftimes.shape[0] > 1
-               else jnp.float32(0.0))
-
-        def frame_of(t):
-            return jnp.clip(
-                jnp.searchsorted(ftimes, t + eps, side="right") - 1,
-                0, ftimes.shape[0] - 1).astype(jnp.int32)
-
+        deriv, frame_of = make_shard_deriv(
+            parts, params, norm, spec, model_cfg, gt, ftimes,
+            non_target={}, forced=forced, axis_name=axis_name,
+            boundary_start=boundary_start)
         i0 = frame_of(times[0])
         y0 = jax.lax.dynamic_index_in_dim(gt, i0, 0, keepdims=False)
         non_target = {
             f: jax.lax.dynamic_index_in_dim(fields[f], i0, 0, keepdims=False)
             for f in spec.fields if f not in spec.target_fields}
-
-        def deriv(y, t):
-            if forced:
-                idx = frame_of(t)
-                g_t = jax.lax.dynamic_index_in_dim(gt, idx, 0, keepdims=False)
-                y = jnp.where(inflow_mask[:, None], g_t, y)
-            values = dict(non_target)
-            values.update(unpack_fields(y, spec))
-            parts = [norm.node[f](values[f]) for f in spec.fields]
-            parts.append(norm.node["node_type"](nto))
-            nf = jnp.concatenate(parts, -1) * node_mask[:, None]
-            ef = norm.edge(mef) * edge_mask[:, None]
-            out = apply_mgn_sharded(
-                params, nf, ef, sg_idx, rl, node_mask, edge_mask, model_cfg,
-                axis_name=axis_name,
-                halo_serve=sq(b["halo_serve"]) if use_halo else None,
-                senders_halo=sq(b["senders_halo"]) if use_halo else None,
-                boundary_start=boundary_start if use_split else None,
-                row_offsets_int=sq(b["row_offsets_int"]) if use_split else None,
-                row_offsets_bnd=sq(b["row_offsets_bnd"]) if use_split else None,
-                fused_plan=plan,
-                ext_nodes=ext,
-            )
-            dparts = []
-            for ti, (f, sl) in enumerate(zip(spec.target_fields,
-                                             spec.target_slices())):
-                pred = norm.output[f].inverse(out[:, sl])
-                if spec.mode(ti) == "absolute":
-                    k = jnp.minimum(frame_of(t), ftimes.shape[0] - 2)
-                    local_dt = (jnp.take(ftimes, k + 1)
-                                - jnp.take(ftimes, k))
-                    dparts.append((pred - y[..., sl]) / local_dt)
-                else:
-                    dparts.append(pred)
-            return jnp.concatenate(dparts, -1) * val_mask[:, None]
+        if non_target:  # rebuild the deriv with the frozen frame bound in
+            deriv, frame_of = make_shard_deriv(
+                parts, params, norm, spec, model_cfg, gt, ftimes,
+                non_target=non_target, forced=forced, axis_name=axis_name,
+                boundary_start=boundary_start)
 
         if solver == "tsit5_adaptive":
             pred = odeint_tsit5_adaptive(deriv, y0, times, rtol=rtol,
@@ -234,23 +295,7 @@ def make_sharded_rollout_fn(
             loss = jnp.full((), jnp.nan, jnp.float32)
         return pred[:, None], loss  # (T, 1, N_p, F) shard
 
-    batch_axes = {
-        "node_type_onehot": P(axis_name),
-        "mesh_edge_features": P(axis_name),
-        "senders_global": P(axis_name),
-        "receivers_local": P(axis_name),
-        "node_mask": P(axis_name),
-        "edge_mask": P(axis_name),
-        "node_type": P(axis_name),
-        "halo_serve": P(axis_name),
-        "senders_halo": P(axis_name),
-        "row_offsets_int": P(axis_name),
-        "row_offsets_bnd": P(axis_name),
-        "fused_rel_s": P(axis_name),
-        "fused_rel_r": P(axis_name),
-        "fused_starts_s": P(axis_name),
-        "fused_starts_r": P(axis_name),
-    }
+    batch_axes = BATCH_AXES(axis_name)
 
     def rollout(params, norm, batch_tree, times, forcing_times=None):
         if forcing_times is None:
