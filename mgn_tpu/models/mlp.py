@@ -49,15 +49,17 @@ def init_mlp(
 
 
 def apply_mlp_parts(
-    params: Dict[str, Any], parts, compute_dtype=jnp.float32
+    params: Dict[str, Any], parts, compute_dtype=jnp.float32, extra=None
 ) -> jax.Array:
     """Forward pass on a conceptual ``concat(parts, -1)`` input WITHOUT
     materializing the concatenation: the first-layer weight matrix is sliced
     per part and the contributions summed (``[a,b,c] @ W == a@Wa + b@Wb +
     c@Wc``).  Saves an HBM round-trip of the wide concat buffer per call —
-    the processor blocks call this 2x per round."""
+    the processor blocks call this 2x per round.  ``extra``: optional f32
+    pre-activation offset added before the first bias (a pre-computed
+    first-layer partial sum — the multi-edge-set fast path)."""
     w0 = params["w"][0]
-    h = None
+    h = None if extra is None else extra.astype(jnp.float32)
     off = 0
     for p in parts:
         d = p.shape[-1]

@@ -365,7 +365,8 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                  chunk: int, n_layers_e: int, n_layers_n: int, mps: int,
                  cdtype, save_residuals: bool = False,
                  stream_saves: bool = False, return_edges: bool = False,
-                 preproject: bool = False, save_h: bool = False):
+                 preproject: bool = False, save_h: bool = False,
+                 node_extra: bool = False):
     chunks = e // chunk
     f32 = jnp.float32
     n_weights = n_layers_e * 2 + 2 + n_layers_n * 2 + 2
@@ -373,6 +374,13 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
     def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
+        xtr_ref = None
+        if node_extra:
+            # f32 (N, L) pre-activation offset added into the node MLP's
+            # first layer — the multi-edge-set (cloth) path computes the
+            # world-edge aggregate's W0 contribution outside and the kernel
+            # folds it in (models/mgn_multi.apply_mgn_multi)
+            xtr_ref, refs = refs[0], refs[1:]
         weight_refs = refs[:n_weights]
         refs = refs[n_weights:]
         ps_ref = qs_ref = None
@@ -537,7 +545,9 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             v_c = v_ref[sl, :]
             agg_c = agg_ref[sl, :].astype(cdtype)
             upd, _ = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
-                              (latent, latent), cdtype)
+                              (latent, latent), cdtype,
+                              extra_acc=xtr_ref[sl, :] if node_extra
+                              else None)
             v_ref[sl, :] = v_c + upd
 
         @pl.when(r == mps - 1)
@@ -741,7 +751,8 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
                      cdtype, with_ge: bool = False,
                      defer_first: bool = False,
                      batch_wgrads: bool = False,
-                     save_h: bool = False):
+                     save_h: bool = False,
+                     node_extra: bool = False):
     """Reverse-round backward: grid step g processes round mps-1-g.
 
     Consumes the saved per-round (v, e, agg) stacks; recomputes each chunk's
@@ -779,15 +790,22 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
         if with_ge:
             (rel_s_ref, rel_r_ref, g_ref, ge_ref, vsave_ref, esave_ref,
              aggsave_ref) = pre[:7]
-            hsave_refs, refs = pre[7:7 + n_h], pre[7 + n_h:]
+            base = 7
         else:
             (rel_s_ref, rel_r_ref, g_ref, vsave_ref, esave_ref,
              aggsave_ref) = pre[:6]
-            hsave_refs, refs = pre[6:6 + n_h], pre[6 + n_h:]
+            base = 6
+        xtr_ref = None
+        if node_extra:
+            xtr_ref = pre[base]
+            base += 1
+        hsave_refs, refs = pre[base:base + n_h], pre[base + n_h:]
         weight_refs = refs[:n_weights]
         grad_refs = refs[n_weights:n_weights * 2]
+        n_out = 3 if node_extra else 2
         dv0_ref, de0_ref = refs[n_weights * 2:n_weights * 2 + 2]
-        rest = refs[n_weights * 2 + 2:]
+        dxtr_ref = refs[n_weights * 2 + 2] if node_extra else None
+        rest = refs[n_weights * 2 + n_out:]
         dh_scr = post_scr = None
         if batch_wgrads:
             n_wgb = n_layers_e if save_h else 2 * n_layers_e - 1
@@ -834,13 +852,19 @@ def _make_bwd_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             v_c = vsave_ref[0, sl, :]  # start-of-round latents
             agg_c = aggsave_ref[0, sl, :]
             upd, cache_n = _mlp_fwd((v_c, agg_c), nw, nb, nln_s, nln_b,
-                                    (latent, latent), cdtype)
+                                    (latent, latent), cdtype,
+                                    extra_acc=xtr_ref[sl, :] if node_extra
+                                    else None)
             dupd = dv_ref[sl, :]  # v' = v + upd  =>  d upd = dv'
-            (dv_p, dagg_p), dnw, dnb, dgn, dbn, _ = _mlp_bwd(
+            (dv_p, dagg_p), dnw, dnb, dgn, dbn, dh_node = _mlp_bwd(
                 dupd, cache_n, (v_c, agg_c), nw, nln_s, (latent, latent),
                 cdtype, wts=wt_n)
             dv_ref[sl, :] = dv_ref[sl, :] + dv_p
             dagg_ref[sl, :] = dagg_p.astype(f32)
+            if node_extra:
+                # the extra enters the first layer additively, so its
+                # cotangent is the raw pre-activation cotangent
+                dxtr_ref[sl, :] = dh_node.astype(f32)
             parts = dnw + dnb + [dgn, dbn]
             for k, gval in enumerate(parts):
                 if b == 0:
@@ -1401,6 +1425,16 @@ def _saveh_active(n: int, e: int, latent: int, dtype, n_layers_e: int,
     return est + extra <= _VMEM_BUDGET
 
 
+def edges_resident(n: int, e: int, latent: int, dtype,
+                   n_layers_e: int = 3, n_layers_n: int = 3) -> bool:
+    """Does the forward keep the (E, L) edge-latent buffer VMEM-resident
+    (vs the edge-streaming kernel)?  The ``node_extra`` variant (multi-edge-
+    set fast path) requires residency."""
+    b = 2 if dtype == jnp.bfloat16 else 4
+    weights_b = _round_weight_bytes(latent, n_layers_e, n_layers_n)
+    return (n * latent * (b + 4) + e * latent * b + weights_b) <= _VMEM_BUDGET
+
+
 def fused_fits(n: int, e: int, latent: int, dtype,
                kernel_bwd: bool = False,
                budget: Optional[int] = None,
@@ -1447,7 +1481,7 @@ def _per_round_spec(shape_rest, mps, reverse=False):
 def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
                     n_layers_e: int, n_layers_n: int, interpret: bool,
                     save_residuals: bool = False, return_edges: bool = False,
-                    save_h: bool = False):
+                    save_h: bool = False, node_extra=None):
     n, latent = v0.shape
     e = e0.shape[0]
     cdtype = v0.dtype
@@ -1486,6 +1520,11 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),  # v0 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.HBM),  # e0 stays in HBM
                 _full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape)]
+    if node_extra is not None:
+        if stream_e:
+            raise NotImplementedError(
+                "node_extra requires the resident-edge forward kernel")
+        in_specs.append(_full_spec((n, latent)))
     in_specs += [_per_round_spec(w.shape[1:], mps) for w in proc_leaves]
 
     if stream_e:
@@ -1523,7 +1562,7 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
             n_layers_e, n_layers_n, mps, cdtype,
             save_residuals=save_residuals, stream_saves=stream,
             return_edges=return_edges, preproject=preproject,
-            save_h=save_h)
+            save_h=save_h, node_extra=node_extra is not None)
 
         out_shape = [jax.ShapeDtypeStruct((n, latent), cdtype)]
         out_specs = [_full_spec((n, latent))]
@@ -1570,6 +1609,8 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    xtr_args = (() if node_extra is None
+                else (node_extra.astype(jnp.float32),))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1577,7 +1618,7 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(plan.starts_s, plan.starts_r, v0, e0, plan.rel_s, plan.rel_r,
-      *proc_leaves)
+      *xtr_args, *proc_leaves)
     if stream_e:
         # the e carry output doubles as the return_edges output; drop it
         # for callers that did not ask for edge latents
@@ -1590,7 +1631,7 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
 
 def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
                      g, mps: int, n_layers_e: int, n_layers_n: int,
-                     interpret: bool, ge=None, hsaves=None):
+                     interpret: bool, ge=None, hsaves=None, xtr=None):
     """Returns (leaf_grads list, dv0, de0).  ``ge``: optional incoming
     edge-latent cotangent (the ``return_edges`` forward).  ``hsaves``:
     per-round hidden-activation stacks the forward saved (``_FORCE_SAVEH``)
@@ -1602,6 +1643,9 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
     stream = _FORCE_STREAM or not residuals_resident(
         n, e, latent, cdtype, n_extra_e=int(with_ge),
         n_layers_e=n_layers_e, n_layers_n=n_layers_n)
+    if xtr is not None and stream:
+        raise NotImplementedError(
+            "node_extra requires the resident-residual backward kernel")
     chunk = plan.chunk
     # deferred first-layer backward: needs 4 extra (N, L) f32 buffers and
     # only pays when E ≥ N (every real mesh); see _make_bwd_kernel.
@@ -1648,7 +1692,7 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
             n, e, latent, plan.band_s, plan.band_r, plan.chunk,
             n_layers_e, n_layers_n, mps, cdtype,
             with_ge=with_ge, defer_first=defer, batch_wgrads=wgb,
-            save_h=save_h)
+            save_h=save_h, node_extra=xtr is not None)
 
     in_specs = [_full_spec(plan.rel_s.shape), _full_spec(plan.rel_r.shape),
                 _full_spec((n, latent))]
@@ -1661,6 +1705,8 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         in_specs += [_per_round_spec((n, latent), mps, reverse=True),
                      _per_round_spec((e, latent), mps, reverse=True),
                      _per_round_spec((n, latent), mps, reverse=True)]
+    if xtr is not None:
+        in_specs.append(_full_spec((n, latent)))
     if save_h:
         in_specs += [_per_round_spec((e, latent), mps, reverse=True)
                      for _ in range(n_layers_e - 1)]
@@ -1676,6 +1722,9 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
     out_specs += [_full_spec((n, latent)),
                   pl.BlockSpec(memory_space=pltpu.HBM) if stream
                   else _full_spec((e, latent))]
+    if xtr is not None:
+        out_shape.append(jax.ShapeDtypeStruct((n, latent), jnp.float32))
+        out_specs.append(_full_spec((n, latent)))
 
     # defer scratch: ps/qs (pre-projected recompute operands — skipped when
     # the saved activations make the recompute unnecessary) + G_s/G_r
@@ -1728,17 +1777,22 @@ def _pallas_backward(proc_leaves, plan: FusedPlan, vsave, esave, aggsave,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(plan.starts_s, plan.starts_r, *args, vsave, esave, aggsave,
+      *(() if xtr is None else (xtr.astype(jnp.float32),)),
       *(hsaves if save_h else ()), *proc_leaves)
     n_leaves = len(proc_leaves)
-    return list(out[:n_leaves]), out[n_leaves], out[n_leaves + 1]
+    dxtr = out[n_leaves + 2] if xtr is not None else None
+    return list(out[:n_leaves]), out[n_leaves], out[n_leaves + 1], dxtr
 
 
 def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
                        mps: int, cdtype, n_pad: int,
                        row_offsets=None, backend=None,
-                       return_edges: bool = False):
+                       return_edges: bool = False, node_extra=None):
     """Reference processor rounds in plain XLA (the unfused block math) —
-    used as the fused kernel's backward recompute and in equality tests."""
+    used as the fused kernel's backward recompute and in equality tests.
+    ``node_extra``: (N, L) f32 pre-activation offset added into the node
+    MLP's first layer each round (the multi-edge-set path; meaningful for
+    ``mps == 1`` where the caller runs one round per call)."""
     from mgn_tpu.models.mlp import apply_mlp_parts
     from mgn_tpu.ops.segment import gather, segment_sum
 
@@ -1750,7 +1804,8 @@ def process_rounds_xla(proc_params, v0, e0, senders, receivers, edge_valid,
         msg = msg * edge_valid
         agg = segment_sum(msg, receivers, n_pad, row_offsets=row_offsets,
                           backend=backend).astype(cdtype)
-        upd = apply_mlp_parts(bp["node_mlp"], (v, agg), cdtype)
+        upd = apply_mlp_parts(bp["node_mlp"], (v, agg), cdtype,
+                              extra=node_extra)
         return (v + upd, e + msg), None
 
     (v, e), _ = jax.lax.scan(block, (v0, e0), proc_params)
@@ -1776,7 +1831,7 @@ def _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n):
 @functools.lru_cache(maxsize=32)
 def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
                 interpret: bool, kernel_bwd: bool,
-                return_edges: bool = False):
+                return_edges: bool = False, node_extra: bool = False):
     """Cached custom_vjp wrapper per static configuration.
 
     ``kernel_bwd=False``: backward recomputes the rounds with plain XLA ops
@@ -1787,19 +1842,22 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
     sharded caller threads edge latents between rounds).
     """
 
-    def _primal(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+    def _primal(proc_params, v0, e0, plan, senders, receivers, edge_valid,
+                xtr=None):
         leaves = _flatten_proc(proc_params)
         return _pallas_forward(leaves, v0, e0, plan, mps,
                                n_layers_e, n_layers_n, interpret,
-                               return_edges=return_edges)
+                               return_edges=return_edges, node_extra=xtr)
 
     @jax.custom_vjp
-    def fused(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+    def fused(proc_params, v0, e0, plan, senders, receivers, edge_valid,
+              *xtr):
         return _primal(proc_params, v0, e0, plan, senders, receivers,
-                       edge_valid)
+                       edge_valid, *xtr)
 
     if kernel_bwd:
-        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid,
+                *xtr):
             leaves = _flatten_proc(proc_params)
             saveh = _saveh_active(v0.shape[0], e0.shape[0], v0.shape[1],
                                   v0.dtype, n_layers_e, return_edges,
@@ -1807,7 +1865,7 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
             out = _pallas_forward(
                 leaves, v0, e0, plan, mps, n_layers_e, n_layers_n, interpret,
                 save_residuals=True, return_edges=return_edges,
-                save_h=saveh)
+                save_h=saveh, node_extra=xtr[0] if node_extra else None)
             if return_edges:
                 v, e, vsave, esave, aggsave, *hs = out
                 primal = (v, e)
@@ -1815,33 +1873,42 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
                 v, vsave, esave, aggsave, *hs = out
                 primal = v
             return primal, (proc_params, plan, vsave, esave, aggsave,
-                            tuple(hs))
+                            tuple(hs), xtr[0] if node_extra else None)
 
         def bwd(res, g):
-            proc_params, plan, vsave, esave, aggsave, hs = res
+            proc_params, plan, vsave, esave, aggsave, hs, xtr = res
             gv, ge = g if return_edges else (g, None)
             leaves = _flatten_proc(proc_params)
-            leaf_grads, dv, de = _pallas_backward(
+            leaf_grads, dv, de, dxtr = _pallas_backward(
                 leaves, plan, vsave, esave, aggsave, gv, mps,
                 n_layers_e, n_layers_n, interpret, ge=ge,
-                hsaves=hs or None)
+                hsaves=hs or None, xtr=xtr)
             dp = _unflatten_proc_grads(leaf_grads, n_layers_e, n_layers_n)
-            return dp, dv, de, None, None, None, None
+            base = (dp, dv, de, None, None, None, None)
+            return base + ((dxtr,) if node_extra else ())
     else:
-        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid):
+        def fwd(proc_params, v0, e0, plan, senders, receivers, edge_valid,
+                *xtr):
             out = _primal(proc_params, v0, e0, plan, senders, receivers,
-                          edge_valid)
-            return out, (proc_params, v0, e0, senders, receivers, edge_valid)
+                          edge_valid, *xtr)
+            return out, (proc_params, v0, e0, senders, receivers, edge_valid,
+                         xtr[0] if node_extra else None)
 
         def bwd(res, g):
-            proc_params, v0, e0, senders, receivers, edge_valid = res
+            proc_params, v0, e0, senders, receivers, edge_valid, xtr = res
             n_pad = v0.shape[0]
 
-            def recompute(p, v, e):
+            def recompute(p, v, e, *x):
                 return process_rounds_xla(p, v, e, senders, receivers,
                                           edge_valid, mps, v0.dtype, n_pad,
-                                          return_edges=return_edges)
+                                          return_edges=return_edges,
+                                          node_extra=x[0] if node_extra
+                                          else None)
 
+            if node_extra:
+                _, vjp = jax.vjp(recompute, proc_params, v0, e0, xtr)
+                dp, dv, de, dxtr = vjp(g)
+                return dp, dv, de, None, None, None, None, dxtr
             _, vjp = jax.vjp(recompute, proc_params, v0, e0)
             dp, dv, de = vjp(g)
             return dp, dv, de, None, None, None, None
@@ -1852,7 +1919,8 @@ def _make_fused(mps: int, n_layers_e: int, n_layers_n: int,
 
 def fused_process(proc_params, v0, e0, plan: FusedPlan, senders, receivers,
                   edge_valid, mps: int, interpret: bool = False,
-                  kernel_bwd: bool = False, return_edges: bool = False):
+                  kernel_bwd: bool = False, return_edges: bool = False,
+                  node_extra=None):
     """Run ``mps`` processor rounds through the fused kernel.
 
     ``proc_params`` is the stacked processor pytree (models/mgn.init_mgn);
@@ -1862,8 +1930,19 @@ def fused_process(proc_params, v0, e0, plan: FusedPlan, senders, receivers,
     rounds instead of just ``v`` (differentiable w.r.t. both outputs) — the
     graph-parallel path calls the kernel once per round and threads both
     latent carries through the halo exchange (parallel/halo.py).
+    ``node_extra``: (N, L) f32 pre-activation offset folded into the node
+    MLP's first layer each round — the multi-edge-set (cloth) fast path
+    computes the world-edge aggregate's W0 contribution outside the kernel
+    (models/mgn_multi.apply_mgn_multi; gradients flow to it too).
     """
     n_layers_e, n_layers_n = _mlp_slot_counts(proc_params)
+    if node_extra is not None and int(mps) != 1:
+        raise ValueError("node_extra is a per-round quantity; call the "
+                         "kernel with mps=1 per round (the multi-edge-set "
+                         "path does)")
     fn = _make_fused(int(mps), n_layers_e, n_layers_n, bool(interpret),
-                     bool(kernel_bwd), bool(return_edges))
-    return fn(proc_params, v0, e0, plan, senders, receivers, edge_valid)
+                     bool(kernel_bwd), bool(return_edges),
+                     node_extra=node_extra is not None)
+    xargs = () if node_extra is None else (node_extra,)
+    return fn(proc_params, v0, e0, plan, senders, receivers, edge_valid,
+              *xargs)

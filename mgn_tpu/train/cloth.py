@@ -165,7 +165,8 @@ def make_cloth_trainer(cfg: ClothConfig,
 
         def loss_fn(params):
             graph = build_cloth_graph(norm, template, cur, vel, cfg)
-            out = apply_mgn_multi(params, graph, cfg.model)
+            out = apply_mgn_multi(params, graph, cfg.model,
+                                  fused_plan=template.fused_plan)
             return masked_mse(out, target, update_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -204,7 +205,8 @@ def make_cloth_rollout(cfg: ClothConfig) -> Callable:
             vel = (cur - prev) / dt
             graph = build_cloth_graph(norm, template, cur, vel, cfg)
             acc = norm.output["acceleration"].inverse(
-                apply_mgn_multi(params, graph, cfg.model))
+                apply_mgn_multi(params, graph, cfg.model,
+                                fused_plan=template.fused_plan))
             nxt = 2 * cur - prev + acc * dt * dt
             gt_next = jax.lax.dynamic_index_in_dim(world_pos_gt, t + 1, 0,
                                                    keepdims=False)
