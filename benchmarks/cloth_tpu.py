@@ -1,0 +1,130 @@
+"""Cloth (multi-edge-set / FlagSimple-class) training-step cost on TPU.
+
+Round-2 verdict missing item 3: the cloth family ran XLA-scatter only — no
+banded, no fused.  Round 3 routes the static mesh-edge set + node stage
+through the per-round fused Pallas kernel (``models/mgn_multi.apply_mgn_multi``
+``use_fused`` path; world-edge aggregate folded in as a node-stage
+pre-activation offset).  This measures the end-to-end cloth optimizer step
+(fwd+bwd+Adam, 32-frame window scan) fused vs unfused at flag_simple scale
+and records benchmarks/results/CLOTH_r{NN}.json.
+
+Run detached: nohup timeout 1500 python benchmarks/cloth_tpu.py &
+"""
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import numpy as np
+
+ROUND = os.environ.get("MGN_BENCH_ROUND", "r03")
+WINDOW = int(os.environ.get("MGN_BENCH_WINDOW", "32"))
+NX = int(os.environ.get("MGN_BENCH_NX", "50"))
+NY = int(os.environ.get("MGN_BENCH_NY", "32"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(_HERE), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from mgn_tpu.data.pipeline import load_dataset
+    from mgn_tpu.data.prep import prepare_trajectory
+    from mgn_tpu.data.synthetic import write_flag_dataset
+    from mgn_tpu.models.mgn_multi import init_mgn_multi
+    from mgn_tpu.train.cloth import (ClothConfig, cloth_model_config,
+                                     make_cloth_norm_state, make_cloth_trainer)
+    from mgn_tpu.train.common import FieldSpec, TrainState
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    results = {"backend": backend, "round": ROUND, "window": WINDOW}
+
+    ds_path = f"/tmp/mgn_flag_bench_{NX}x{NY}"
+    if not os.path.isfile(os.path.join(ds_path, "meta.json")):
+        write_flag_dataset(ds_path, nx=NX, ny=NY, tl=WINDOW + 3,
+                           n_train=1, n_valid=1, n_test=1)
+    ds = load_dataset(ds_path, is_training=True)
+    spec = FieldSpec.from_meta(ds.meta)
+    opt = optax.adam(1e-4)
+
+    def timed(fn, reps=4):
+        # state-chained dispatches + a final device_get: see spmd_tpu.timed
+        jax.device_get(fn())
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(reps):
+            last = fn()
+        jax.device_get(last)
+        return (time.perf_counter() - t0) / reps
+
+    dtype = "bfloat16" if on_tpu else "float32"
+    cases = [("unfused", dict())]
+    if on_tpu:
+        cases.append(("fused", dict(fused=True, fused_backward=True)))
+    for name, over in cases:
+        mcfg = cloth_model_config(
+            ds.meta, latent=128, hidden_layers=2, mps=15,
+            compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32, **over)
+        cfg = ClothConfig(model=mcfg, world_radius=0.05, world_capacity=2048,
+                          noise_stddev=0.003, norm_steps=0)
+        prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec,
+                                  spatial_reorder=True)
+        results.setdefault("mesh", {
+            "nodes": int(np.asarray(prep.template.node_mask).sum()),
+            "n_pad": int(prep.template.num_nodes),
+            "e_pad": int(prep.template.num_edges),
+            "world_capacity": 2048,
+        })
+        if name == "fused" and prep.template.fused_plan is None:
+            results[name] = {"error": "no fused plan"}
+            continue
+        trainer = jax.jit(make_cloth_trainer(cfg, opt))
+        params = init_mgn_multi(jax.random.PRNGKey(0), mcfg)
+        st = TrainState(params=params, opt_state=opt.init(params),
+                        norm=make_cloth_norm_state(cfg),
+                        step=jnp.zeros((), jnp.int32))
+        perm = jnp.asarray(1 + np.arange(WINDOW), jnp.int32)
+        wp = prep.fields["world_pos"]
+        tj = prep.times
+
+        def run():
+            nonlocal st
+            st, losses = trainer(st, prep.template, wp, tj, perm,
+                                 jax.random.PRNGKey(0))
+            return losses
+
+        try:
+            dt = timed(run) / WINDOW
+            results[name] = {"ms_per_step": round(dt * 1e3, 4),
+                             "steps_per_sec": round(1 / dt, 1),
+                             "dtype": dtype}
+            print(f"cloth {name}: {results[name]}", flush=True)
+        except Exception as ex:
+            results[name] = {"error": str(ex)[:400]}
+            print(f"cloth {name}: FAILED {str(ex)[:200]}", flush=True)
+
+    if all("ms_per_step" in results.get(k, {}) for k in ("fused", "unfused")):
+        results["speedup_fused_vs_unfused"] = round(
+            results["unfused"]["ms_per_step"]
+            / results["fused"]["ms_per_step"], 2)
+        print("speedup:", results["speedup_fused_vs_unfused"], flush=True)
+
+    out_dir = os.path.join(_HERE, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"CLOTH_{ROUND}.json")
+    with open(path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

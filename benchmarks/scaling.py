@@ -94,12 +94,14 @@ def main():
         timings = {}
         for mode in modes:
             fn = make_fn(mode)
-            fn(*args)[0].block_until_ready()
-            iters = 20 if backend == "tpu" else 2
+            # warm (compile) + a real host fetch; block_until_ready alone is
+            # NOT trusted through the remote-TPU tunnel (see spmd_tpu.timed)
+            jax.device_get(fn(*args))
+            iters = 50 if backend == "tpu" else 2
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(*args)
-            out.block_until_ready()
+            jax.device_get(out)  # in-order execution: forces all prior
             timings[mode] = (time.perf_counter() - t0) / iters
         dt = timings.get("halo-split", timings["halo"])
         eps = e * mps / dt
@@ -121,10 +123,16 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    print(json.dumps({"summary": {
-        "backend": backend, "nodes": n, "edges": e, "mps": mps,
-        "timing_meaningful": backend == "tpu",
-    }}))
+    summary = {"backend": backend, "nodes": n, "edges": e, "mps": mps,
+               "timing_meaningful": backend == "tpu"}
+    print(json.dumps({"summary": summary}))
+    out_dir = os.path.join(_HERE, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    rnd = os.environ.get("MGN_BENCH_ROUND", "r03")
+    path = os.path.join(out_dir, f"SCALING_{backend}_{rnd}.json")
+    with open(path, "w") as fh:
+        json.dump({"summary": summary, "records": results}, fh, indent=1)
+    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":

@@ -96,13 +96,28 @@ def main():
                            output={"velocity": N.Online.create(2)}),
             step=jnp.zeros((), jnp.int32))
 
-    def best_of(fn, reps=3):
-        fn()  # warm / compile
+    def timed(fn, reps=3, samples=4):
+        """Time ``reps`` state-chained dispatches of ``fn() -> losses``,
+        min over ``samples`` repeats.
+
+        ``fn`` must thread its own state so consecutive dispatches have a
+        true data dependency, and the final ``jax.device_get`` pulls real
+        bytes back through the tunnel — ``block_until_ready`` alone measured
+        0.03 ms/step for a 32-frame window here (physically impossible; the
+        remote-runtime future resolves before execution finishes), so only a
+        concrete host fetch is trusted.  The min-over-samples guards against
+        the tunnel's additive fetch jitter (measured up to ~50 s on a cold
+        path).
+        """
+        jax.device_get(fn())  # warm / compile
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(samples):
             t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
+            last = None
+            for _ in range(reps):
+                last = fn()
+            jax.device_get(last)
+            best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
     # ---- unsharded flagship trainer (fused on TPU, banded fallback) --------
@@ -117,6 +132,7 @@ def main():
         if name == "fused" and template.fused_plan is None:
             unsharded[name] = {"error": "no fused plan"}
             continue
+        print(f"unsharded {name}: compiling/timing...", flush=True)
         velp = np.zeros((tl, template.num_nodes, 2), np.float32)
         velp[:, :n] = vel
         tcfg = DerivativeTrainerConfig(model=cfg, spec=spec,
@@ -129,11 +145,11 @@ def main():
 
         def run():
             nonlocal st
-            st2, losses = trainer(st, template, fields, tj, perm,
-                                  jax.random.PRNGKey(0))
-            jax.block_until_ready(losses)
+            st, losses = trainer(st, template, fields, tj, perm,
+                                 jax.random.PRNGKey(0))
+            return losses
 
-        dt = best_of(run) / WINDOW
+        dt = timed(run) / WINDOW
         unsharded[name] = {"ms_per_step": round(dt * 1e3, 4),
                            "steps_per_sec": round(1 / dt, 1)}
         print(f"unsharded {name}: {unsharded[name]}", flush=True)
@@ -154,10 +170,11 @@ def main():
         perms = jnp.arange(WINDOW, dtype=jnp.int32)[:, None]
 
         def run():
-            st2, losses = step(st, tree, perms, jax.random.PRNGKey(0))
-            jax.block_until_ready(losses)
+            nonlocal st
+            st, losses = step(st, tree, perms, jax.random.PRNGKey(0))
+            return losses
 
-        return best_of(run) / WINDOW
+        return timed(run) / WINDOW
 
     cases = []
     pt_plain = partition_template(pos, node_type, s, r, 1)
@@ -177,6 +194,7 @@ def main():
                           MGNConfig(**base, fused=True, fused_backward=True),
                           ptf.boundary_start, fstat))
     for name, pt, cfg, bs_, fs_ in cases:
+        print(f"spmd(1,1) {name}: compiling/timing...", flush=True)
         try:
             dt = spmd_time(pt, cfg, bs_, fs_)
             spmd[name] = {"ms_per_step": round(dt * 1e3, 4),

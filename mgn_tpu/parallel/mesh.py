@@ -13,7 +13,25 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["initialize_multihost", "mesh_shape_for", "data_graph_mesh"]
+__all__ = ["initialize_multihost", "mesh_shape_for", "data_graph_mesh",
+           "compiler_options_for"]
+
+
+def compiler_options_for(mesh) -> Optional[dict]:
+    """XLA compiler options for jitted SPMD programs over ``mesh``.
+
+    On TPU the per-round sharded fused path slices the 15-round weight stack
+    inside a ``lax.scan``; XLA stages those operand fusions in *scoped* VMEM,
+    which obeys the global ``--xla_tpu_scoped_vmem_limit_kib`` default (16 MB)
+    rather than the kernel's own raised ``vmem_limit_bytes`` — measured OOM:
+    27.25 MB of staging vs the 16 MB cap (benchmarks/results/SPMD_r03.json,
+    first recording).  Raise the program-wide cap to the kernels' limit so the
+    staging fits.  Returns None off-TPU (the flag is TPU-only)."""
+    if next(iter(mesh.devices.flat)).platform != "tpu":
+        return None
+    from mgn_tpu.ops import fused as _F
+
+    return {"xla_tpu_scoped_vmem_limit_kib": int(_F._VMEM_LIMIT) >> 10}
 
 
 def initialize_multihost(coordinator: Optional[str] = None,

@@ -311,4 +311,6 @@ def make_sharded_rollout_fn(
         )
         return fn(params, norm, batch_tree, times, forcing_times)
 
-    return jax.jit(rollout)
+    from mgn_tpu.parallel.mesh import compiler_options_for
+
+    return jax.jit(rollout, compiler_options=compiler_options_for(mesh))

@@ -34,11 +34,17 @@ from jax import shard_map
 from mgn_tpu.core import normalizers as N
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.parallel.halo import apply_mgn_sharded
+from mgn_tpu.parallel.mesh import compiler_options_for
 from mgn_tpu.parallel.partition import PartitionedTemplate
 from mgn_tpu.train.common import FieldSpec, NormState, TrainState, type_mask
 
 __all__ = ["SpmdBatch", "make_spmd_derivative_step", "make_spmd_solver_step",
            "make_device_mesh", "batch_from_partitioned", "device_put_batch"]
+
+# perf-bisection hook (benchmarks/probe_spmd_real_tpu.py): set of stage names
+# to skip inside make_spmd_derivative_step — timing-only, outputs wrong.
+# {"norm", "sel", "cnt_psum", "noise"}
+_PROBE_SKIP: frozenset = frozenset()
 
 
 def make_device_mesh(data: int, graph: int, devices=None) -> Mesh:
@@ -299,8 +305,10 @@ def make_spmd_derivative_step(
                 if f in spec.target_fields:
                     ti = spec.target_fields.index(f)
                     nxt = take(stacks[f], pk + 1)
-                    noise = sigma(ti) * jax.random.normal(keys[ti], frame.shape)
-                    frame = frame + noise * noisy_mask[..., None]
+                    if "noise" not in _PROBE_SKIP:
+                        noise = sigma(ti) * jax.random.normal(keys[ti],
+                                                              frame.shape)
+                        frame = frame + noise * noisy_mask[..., None]
                     targets_raw[f] = (nxt - frame) / dtv[:, None, None]
                 u[f] = frame
 
@@ -314,12 +322,16 @@ def make_spmd_derivative_step(
 
             node_norms = dict(state.norm.node)
             out_norms = dict(state.norm.output)
-            for f in spec.fields:
-                node_norms[f] = acc_batched(node_norms[f], u[f], node_mask)
-            for f in spec.target_fields:
-                out_norms[f] = acc_batched(out_norms[f], targets_raw[f],
-                                           node_mask)
-            edge_norm = acc_batched(state.norm.edge, mef, edge_mask)
+            if "norm" not in _PROBE_SKIP:
+                for f in spec.fields:
+                    node_norms[f] = acc_batched(node_norms[f], u[f],
+                                                node_mask)
+                for f in spec.target_fields:
+                    out_norms[f] = acc_batched(out_norms[f], targets_raw[f],
+                                               node_mask)
+                edge_norm = acc_batched(state.norm.edge, mef, edge_mask)
+            else:
+                edge_norm = state.norm.edge
             norm = NormState(edge=edge_norm, node=node_norms,
                              output=out_norms)
 
@@ -384,6 +396,8 @@ def make_spmd_derivative_step(
                 sq_sum, cnt = jax.lax.map(
                     lambda a: per_traj_loss(params, a), vm_args)
                 total_sq, total_cnt = jnp.sum(sq_sum), jnp.sum(cnt)
+                if "cnt_psum" in _PROBE_SKIP:
+                    return total_sq / jnp.maximum(total_cnt, 1.0)
                 global_cnt = jax.lax.psum(total_cnt, axes)
                 return total_sq / jnp.maximum(global_cnt, 1.0)
 
@@ -394,9 +408,12 @@ def make_spmd_derivative_step(
             updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)
-            do_update = state.step >= norm_steps
-            sel = lambda a, c: jax.tree.map(
-                lambda x, y: jnp.where(do_update, x, y), a, c)
+            if "sel" in _PROBE_SKIP:
+                sel = lambda a, c: a
+            else:
+                do_update = state.step >= norm_steps
+                sel = lambda a, c: jax.tree.map(
+                    lambda x, y: jnp.where(do_update, x, y), a, c)
             new_state = TrainState(
                 params=sel(new_params, state.params),
                 opt_state=sel(new_opt, state.opt_state),
@@ -423,7 +440,7 @@ def make_spmd_derivative_step(
         )
         return fn(state, batch_tree, perms, key)
 
-    return jax.jit(step)
+    return jax.jit(step, compiler_options=compiler_options_for(mesh))
 
 
 
@@ -628,4 +645,4 @@ def make_spmd_solver_step(
         )
         return fn(state, batch_tree, key)
 
-    return jax.jit(step)
+    return jax.jit(step, compiler_options=compiler_options_for(mesh))
