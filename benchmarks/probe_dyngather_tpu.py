@@ -56,11 +56,11 @@ def main():
     starts = (starts // 32) * 32
 
     def make(variant, dtype):
-        def kernel(starts_ref, v_ref, rel_ref, out_ref, acc_ref):
+        def kernel(starts_ref, v_ref, rel_ref, relt_ref, out_ref, acc_ref):
             def chunk_body(c, _):
                 ss = pl.multiple_of(starts_ref[c], 32)
-                relc = rel_ref[c]
                 if variant == "onehot":
+                    relc = rel_ref[c]
                     win = v_ref[pl.ds(ss, BAND), :]
                     oh = (jax.lax.broadcasted_iota(
                         jnp.int32, (BAND, CHUNK), 0)
@@ -69,9 +69,12 @@ def main():
                         oh, win, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 else:
+                    # rel arrives TRANSPOSED (chunk on sublanes): a (1, chunk)
+                    # lane-vector cannot be reshaped to (chunk, 1) in Mosaic
+                    # ("unsupported shape cast")
+                    relc = relt_ref[:, pl.ds(c, 1)]  # (CHUNK, 1) i32
                     win = v_ref[pl.ds(ss, CHUNK), :]
-                    idx = jnp.broadcast_to(relc[:, None, None].astype(
-                        jnp.int32), (CHUNK, L, 1))
+                    idx = jnp.broadcast_to(relc, (CHUNK, L))[:, :, None]
                     dn = jax.lax.GatherDimensionNumbers(
                         offset_dims=(), collapsed_slice_dims=(0,),
                         start_index_map=(0,), operand_batching_dims=(1,),
@@ -98,6 +101,8 @@ def main():
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, CHUNK), lambda g, *_: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((CHUNK, C), lambda g, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((CHUNK, L), lambda g, *_: (0, 0),
                                    memory_space=pltpu.VMEM),
@@ -112,12 +117,13 @@ def main():
         )
         v = jnp.asarray(rng.normal(size=(N, L)), dtype)
         reli = jnp.asarray(rel)
+        relt = jnp.asarray(np.ascontiguousarray(rel.T))
         st = jnp.asarray(starts)
 
         @jax.jit
         def loop(v):
             def body(_, acc):
-                return acc + f(st, v, reli)
+                return acc + f(st, v, reli, relt)
 
             return jax.lax.fori_loop(0, ITERS, body,
                                      jnp.zeros((CHUNK, L), jnp.float32))
@@ -128,11 +134,14 @@ def main():
     results = {"backend": backend, "chunk": CHUNK, "band": BAND,
                "chunks": C, "rounds": R, "iters": ITERS}
     ref = None
-    for name, variant, dtype in (
-            ("onehot_f32", "onehot", jnp.float32),
-            ("onehot_bf16", "onehot", jnp.bfloat16),
-            ("dyn_f32", "dyn", jnp.float32),
-            ("dyn_bf16", "dyn", jnp.bfloat16)):
+    combos = (("onehot_f32", "onehot", jnp.float32),
+              ("onehot_bf16", "onehot", jnp.bfloat16),
+              ("dyn_f32", "dyn", jnp.float32),
+              ("dyn_bf16", "dyn", jnp.bfloat16))
+    only = os.environ.get("MGN_PROBE_ONLY")
+    if only:
+        combos = tuple(c for c in combos if c[0] in only.split(","))
+    for name, variant, dtype in combos:
         try:
             loop, v = make(variant, dtype)
             out = np.asarray(jax.device_get(loop(v)))  # compile + force
@@ -153,7 +162,8 @@ def main():
             print(name, results[name], flush=True)
         except Exception as ex:
             results[name] = {"error": str(ex)[:400]}
-            print(name, "FAILED", str(ex)[:200], flush=True)
+            print(name, "FAILED, full error follows", flush=True)
+            print(str(ex), flush=True)
 
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)

@@ -93,7 +93,10 @@ _UNROLL_CHUNKS_MAX = 32
 # "const_oh" = loop-invariant one-hot matrices (removes the per-chunk VPU
 # iota/compare build, keeps the gather matmuls); "skip_gather" = bypass the
 # gather matmuls entirely (vs/vr reuse e_c); "skip_mlp" = identity message
-# MLP; "skip_scatter" = drop the agg scatter-add matmuls.  Timing-only —
+# MLP; "skip_scatter" = drop the agg scatter-add matmuls; "round_indep" =
+# edge stages read a round-0 snapshot of v (breaks the node->edge cross-round
+# dependency: measures whether ANY inter-round overlap is available to the
+# scheduler — the software-pipelining go/no-go).  Timing-only —
 # outputs are wrong for every non-None value.
 _PROBE = None
 
@@ -374,6 +377,9 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
     def kernel(starts_s_ref, starts_r_ref,  # scalar prefetch
                v0_ref, e0_ref, rel_s_ref, rel_r_ref, *refs):
+        vsnap_ref = None
+        if _PROBE == "round_indep":  # timing-only extra scratch, last slot
+            vsnap_ref, refs = refs[-1], refs[:-1]
         xtr_ref = None
         if node_extra:
             # f32 (N, L) pre-activation offset added into the node MLP's
@@ -410,6 +416,10 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             weight_refs, n_layers_e, n_layers_n)
 
         r = pl.program_id(0)
+        if vsnap_ref is not None:
+            # round_indep: double-buffered agg kills the WAR hazard between
+            # round k's node stage (reads agg) and round k+1's zeroing
+            agg_ref = agg_ref.at[r % 2]
 
         @pl.when(r == 0)
         def _():
@@ -425,6 +435,8 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
 
             pl.run_scoped(load, pltpu.SemaphoreType.DMA(()),
                           pltpu.SemaphoreType.DMA(()))
+            if vsnap_ref is not None:
+                vsnap_ref[:] = v_ref[:]
 
         if save_residuals and not stream_saves:
             # start-of-round state for the backward kernel (VMEM windows)
@@ -446,7 +458,7 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             # matmuls (2 of the 3), ~16% of round FLOPs
             # (docs/performance.md round-2 bisection).
             w0 = ew[0]  # (3L, L): rows [0:L]=e_c, [L:2L]=vs, [2L:3L]=vr
-            v_all = v_ref[:]
+            v_all = vsnap_ref[:] if vsnap_ref is not None else v_ref[:]
             ps_ref[:] = jax.lax.dot_general(
                 v_all, w0[latent:2 * latent, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -463,8 +475,9 @@ def _make_kernel(n: int, e: int, latent: int, band_s: int, band_r: int,
             base = pl.multiple_of(c * chunk, chunk)
             e_c = e_ref[pl.ds(base, chunk), :]
             if not preproject:
-                v_band_s = v_ref[pl.ds(ss, band_s), :]
-                v_band_r = v_ref[pl.ds(sr, band_r), :]
+                v_src = vsnap_ref if vsnap_ref is not None else v_ref
+                v_band_s = v_src[pl.ds(ss, band_s), :]
+                v_band_r = v_src[pl.ds(sr, band_r), :]
             if _PROBE == "const_oh":  # loop-invariant: build hoisted/CSE'd
                 oh_s = (jax.lax.broadcasted_iota(
                     jnp.int32, (band_s, chunk), 0) == 0).astype(cdtype)
@@ -1594,13 +1607,16 @@ def _pallas_forward(proc_leaves, v0, e0, plan: FusedPlan, mps: int,
         scratch = [
             pltpu.VMEM((n, latent), cdtype),
             pltpu.VMEM((e, latent), cdtype),
-            pltpu.VMEM((n, latent), jnp.float32),
+            pltpu.VMEM((2, n, latent) if _PROBE == "round_indep"
+                       else (n, latent), jnp.float32),
         ]
         if stream:
             scratch.append(pltpu.VMEM((n, latent), cdtype))  # agg staging
         if preproject:
             scratch += [pltpu.VMEM((n, latent), jnp.float32),  # v @ W0_vs
                         pltpu.VMEM((n, latent), jnp.float32)]  # v @ W0_vr
+        if _PROBE == "round_indep":
+            scratch.append(pltpu.VMEM((n, latent), cdtype))  # v snapshot
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
