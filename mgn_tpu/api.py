@@ -798,6 +798,9 @@ def simulate(
         cells=None if cells is None else np.asarray(cells, np.int32),
         edges=None if edges is None else np.asarray(edges, np.int32),
     )
+    if args.graph_parallel > 1:
+        return _simulate_spmd(traj, args, params, norm, model_cfg, spec,
+                              solver, times)
     prep = prepare_trajectory(traj, meta, spec,
                               spatial_reorder=args.spatial_reorder)
     rollout_fn = jax.jit(make_rollout_fn(
@@ -807,3 +810,50 @@ def simulate(
     pred = rollout_fn(params, norm, prep.template, prep.fields,
                       jnp.asarray(times, jnp.float32), prep.times)
     return prep.unpermute(np.asarray(pred))
+
+
+def _simulate_spmd(traj, args: Args, params, norm, model_cfg, spec,
+                   solver: str, times) -> np.ndarray:
+    """Graph-parallel serving: one mesh partitioned over
+    ``args.graph_parallel`` devices, rolled out autoregressively
+    (``forced=False`` — no inflow forcing, no dataset) through the sharded
+    NeuralODE (parallel/rollout.py), predictions un-permuted back to the
+    caller's node order.  Closes the sharded-serving piece of the reference's
+    export story (/root/reference/src/MeshGraphNets.jl:568-672) for meshes
+    too large for one chip."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from mgn_tpu.core.graph import cells_to_edges, parse_edges
+    from mgn_tpu.parallel.partition import (add_fused_plans, add_halo_plan,
+                                            partition_template)
+    from mgn_tpu.parallel.rollout import (make_sharded_rollout_fn,
+                                          sharded_rollout_batch,
+                                          unpermute_sharded)
+    from mgn_tpu.parallel.spmd import make_device_mesh
+
+    if traj.cells is not None:
+        s, r = cells_to_edges(traj.cells)
+    else:
+        s, r = parse_edges(traj.edges)
+    try_fused = bool(model_cfg.fused)
+    bucket_m = 512 if try_fused else 128
+    pt = partition_template(traj.mesh_pos, traj.node_type, s, r,
+                            args.graph_parallel, spatial_order=try_fused)
+    pt = add_halo_plan(pt, boundary_multiple=bucket_m)
+    if try_fused:
+        pt = add_fused_plans(pt)
+    fused_static = ((pt.fused_band_s, pt.fused_band_r, pt.fused_chunk,
+                     pt.ext_nodes) if pt.fused_rel_s is not None else None)
+
+    mesh = make_device_mesh(1, args.graph_parallel)
+    rep = NamedSharding(mesh, PartitionSpec())
+    params = jax.device_put(params, rep)
+    norm = jax.device_put(norm, rep)
+    batch = sharded_rollout_batch(pt, traj.fields, spec)
+    srollout = make_sharded_rollout_fn(
+        mesh, model_cfg, spec, solver=solver,
+        types_updated=args.types_updated, types_inflow=args.types_inflow,
+        rtol=args.rtol, atol=args.atol, forced=False,
+        boundary_start=pt.boundary_start, fused_static=fused_static)
+    pred, _ = srollout(params, norm, batch, jnp.asarray(times, jnp.float32),
+                       jnp.asarray(traj.times, jnp.float32))
+    return unpermute_sharded(pt, np.asarray(pred), traj.num_nodes)

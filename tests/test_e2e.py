@@ -125,6 +125,29 @@ def test_simulate_serving_api(ds_dir, tmp_path):
     np.testing.assert_allclose(pred[0], gt0, rtol=1e-5, atol=1e-6)
 
 
+def test_simulate_graph_parallel_matches_single_device(ds_dir, tmp_path):
+    """simulate(graph_parallel=4): sharded serving over the virtual mesh
+    matches the single-device serving rollout and comes back in the caller's
+    node order (the sharded piece of the reference's export story,
+    /root/reference/src/MeshGraphNets.jl:568-672)."""
+    from mgn_tpu import simulate
+    from mgn_tpu.data.pipeline import load_dataset
+
+    cp = str(tmp_path / "cp_simgp")
+    train_network(0.0, optax.adam(1e-3), ds_dir, cp, steps=10, checkpoint=5,
+                  **SMALL)
+    ds = load_dataset(ds_dir, is_training=False)
+    tr = ds.trajectory(0)
+    times = tr.times[:5]
+    f0 = {f: tr.fields[f][0] for f in tr.fields}
+    ref = simulate(ds_dir, cp, tr.mesh_pos, tr.node_type, f0, times,
+                   cells=tr.cells, **SMALL)
+    pred = simulate(ds_dir, cp, tr.mesh_pos, tr.node_type, f0, times,
+                    cells=tr.cells, graph_parallel=4, **SMALL)
+    assert pred.shape == ref.shape
+    np.testing.assert_allclose(pred, ref, rtol=5e-4, atol=5e-5)
+
+
 def test_export_simulator_roundtrip(ds_dir, tmp_path):
     """AOT export (jax.export): serialize the simulator, reload from bytes,
     and match the in-process simulate() output."""
