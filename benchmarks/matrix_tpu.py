@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 import numpy as np
 
-ROUND = os.environ.get("MGN_BENCH_ROUND", "r02")
+ROUND = os.environ.get("MGN_BENCH_ROUND", "r03")
 DS = os.environ.get("MGN_BENCH_DS", "/tmp/mgn_fullscale_ds")
 
 
@@ -83,11 +83,14 @@ def main():
 
             return jax.lax.fori_loop(0, iters, body, g)
 
-        loop(graph).node_features.block_until_ready()
+        # device_get (not block_until_ready) — the remote-tunnel future can
+        # resolve before execution finishes; min-of-5 guards the additive
+        # fetch jitter (see spmd_tpu.timed)
+        jax.device_get(loop(graph).node_features)
         best = float("inf")
-        for _ in range(3):  # best-of-3 against chip/tunnel noise
+        for _ in range(5):
             t0 = time.perf_counter()
-            loop(graph).node_features.block_until_ready()
+            jax.device_get(loop(graph).node_features)
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
@@ -187,13 +190,13 @@ def main():
         _, e_nm, n_nm, o_nm = Nz.normalizers_from_meta(ds.meta, 1e6)
         norm = NormState(edge=e_nm, node=n_nm, output=o_nm)
         fn = jax.jit(make_rollout_fn(cfg, spec2, solver="euler"))
-        jax.block_until_ready(fn(params, norm, prep.template, prep.fields,
-                                 prep.times))
+        jax.device_get(fn(params, norm, prep.template, prep.fields,
+                          prep.times))
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(params, norm, prep.template, prep.fields,
-                                     prep.times))
+            jax.device_get(fn(params, norm, prep.template, prep.fields,
+                              prep.times))
             best = min(best, time.perf_counter() - t0)
         key = "steps_per_sec_fused" if fused else "steps_per_sec_unfused"
         results["rollout"][key] = round((prep.times.shape[0] - 1) / best, 1)
@@ -201,6 +204,13 @@ def main():
 
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)
+    # fold in sibling per-family artifacts recorded this round, if present
+    for key, fname in (("cloth", f"CLOTH_{ROUND}.json"),
+                       ("spmd", f"SPMD_{ROUND}.json")):
+        p = os.path.join(out_dir, fname)
+        if os.path.isfile(p):
+            with open(p) as f:
+                results[key] = json.load(f)
     out_path = os.path.join(out_dir, f"BENCH_matrix_{ROUND}.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

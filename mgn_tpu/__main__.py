@@ -61,6 +61,9 @@ def main(argv=None):
     e.add_argument("--solver-dt", type=float, default=None)
     e.add_argument("--num-rollouts", type=int, default=10)
     e.add_argument("--mse-steps", type=int, nargs="+", default=[])
+    e.add_argument("--graph-parallel", type=int, default=1,
+                   help="partition each mesh over this many devices and "
+                        "roll out sharded (parallel/rollout.py)")
     _add_common(e)
 
     x = sub.add_parser("export")
@@ -178,6 +181,7 @@ def main(argv=None):
         eval_network(args.ds_path, args.cp_path, args.out_path,
                      solver=args.solver, dt=args.solver_dt,
                      num_rollouts=args.num_rollouts,
+                     graph_parallel=args.graph_parallel,
                      mse_steps=tuple(args.mse_steps), metrics=log, **common)
 
 
