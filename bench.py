@@ -86,21 +86,26 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, graph)
 
-    loop(graph).node_features.block_until_ready()  # compile
+    # device_get, not block_until_ready: through the remote tunnel the
+    # latter can resolve before execution finishes (round-3 finding,
+    # docs/benchmarks.md); min-of-5 guards the fetch jitter
+    jax.device_get(loop(graph).node_features)  # compile + force
     dt = float("inf")
-    for _ in range(5):  # best-of-5 against chip/tunnel noise
+    for _ in range(5):
         t0 = time.perf_counter()
-        loop(graph).node_features.block_until_ready()
+        jax.device_get(loop(graph).node_features)
         dt = min(dt, (time.perf_counter() - t0) / iters)
 
     edges_per_sec = e_real * cfg.message_passing_steps / dt
 
     vs_baseline = 1.0
-    try:  # compare to the previous round's recorded bench if present
+    try:  # compare to the ROUND-1 record: vs_baseline is cumulative-vs-
+        # original (BENCH_r02 recorded 3.32x against r01's 88.7 M; keeping
+        # the oldest anchor preserves that meaning across rounds)
         prior = sorted(p for p in os.listdir(".") if p.startswith("BENCH_r")
                        and p.endswith(".json"))
         if prior:
-            with open(prior[-1]) as f:
+            with open(prior[0]) as f:
                 rec = json.load(f)
             rec = rec.get("parsed", rec)  # driver wraps the JSON line
             if rec.get("unit") == "edges/sec" and rec.get("value"):

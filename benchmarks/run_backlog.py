@@ -18,17 +18,34 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 STEPS = [
-    # (name, cmd, env overrides, timeout seconds)
-    ("probe_layout", [sys.executable, "benchmarks/probe_layout_tpu.py"],
-     {}, 2400),
-    ("bigmesh_ab", [sys.executable, "benchmarks/bigmesh_tpu.py"],
-     {"MGN_BIGMESH_UNROLL_AB": "1"}, 3000),
-    ("unionbatch", [sys.executable, "benchmarks/unionbatch_tpu.py"],
-     {}, 2400),
-    ("matrix_r02", [sys.executable, "benchmarks/matrix_tpu.py"],
-     {"MGN_BENCH_ROUND": "r02"}, 2400),
-    ("bench", [sys.executable, "bench.py"], {}, 1200),
+    # (name, cmd, env overrides, timeout seconds)  — round-3 backlog
+    ("cloth_r03", [sys.executable, "benchmarks/cloth_tpu.py"], {}, 2400),
+    ("overlap_hlo", [sys.executable, "benchmarks/overlap_hlo_tpu.py"],
+     {}, 1500),
+    ("matrix_r03", [sys.executable, "benchmarks/matrix_tpu.py"],
+     {"MGN_BENCH_ROUND": "r03"}, 3000),
+    ("bench", [sys.executable, "bench.py"], {}, 1800),
 ]
+
+_HEALTH = (
+    "import time,sys; t0=time.time(); import jax, jax.numpy as jnp; "
+    "x=jnp.ones((256,256),jnp.bfloat16); "
+    "v=float(jnp.sum(jax.jit(lambda a:a@a)(x).astype(jnp.float32))); "
+    "print('HEALTH_OK', round(time.time()-t0,1), v, flush=True)"
+)
+
+
+def backend_healthy(timeout_s: int = 300) -> bool:
+    """Port 8083 can accept while the remote backend is dead/hanging; only a
+    real compile+run+fetch round trip proves health."""
+    if not tunnel_up():
+        return False
+    try:
+        r = subprocess.run([sys.executable, "-c", _HEALTH], cwd=REPO,
+                           capture_output=True, text=True, timeout=timeout_s)
+        return "HEALTH_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def tunnel_up() -> bool:
@@ -44,11 +61,12 @@ def tunnel_up() -> bool:
 
 
 def main():
-    while not tunnel_up():
-        print(f"{time.strftime('%H:%M:%S')} tunnel down; waiting", flush=True)
-        time.sleep(60)
-    print(f"{time.strftime('%H:%M:%S')} tunnel UP; settling 120s", flush=True)
-    time.sleep(120)  # let the relay/remote side finish coming up
+    while not backend_healthy():
+        print(f"{time.strftime('%H:%M:%S')} backend down; waiting", flush=True)
+        time.sleep(240)
+    print(f"{time.strftime('%H:%M:%S')} backend healthy; settling 60s",
+          flush=True)
+    time.sleep(60)
 
     for name, cmd, env, tmo in STEPS:
         for attempt in (1, 2):
@@ -66,10 +84,10 @@ def main():
             print(f"{time.strftime('%H:%M:%S')} {name} rc={rc}", flush=True)
             if rc == 0:
                 break
-            if not tunnel_up():  # tunnel died mid-step: wait for it again
-                while not tunnel_up():
-                    time.sleep(60)
-                time.sleep(120)
+            if not backend_healthy():  # died mid-step: wait for it again
+                while not backend_healthy():
+                    time.sleep(240)
+                time.sleep(60)
     with open("/tmp/backlog_done", "w") as fh:
         fh.write("done\n")
     print("backlog complete", flush=True)
