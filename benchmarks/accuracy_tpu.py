@@ -1,0 +1,202 @@
+"""Convergence/accuracy run on the real chip (round-4 verdict item 1).
+
+Trains the cylinder-class flagship config (1.9k-node triangulated channel,
+15 MP rounds, latent 128, bf16 compute) to convergence on a synthetic
+advection field with a FIXED wave speed (so du/dt is a deterministic function
+of the state and the field is exactly learnable — see
+mgn_tpu/data/synthetic.py:make_trajectory), then evaluates rollout RMSE at
+horizons 50/100/300/599 against a persistence baseline.  This is the
+end-to-end systems proof (data pipeline x noise x normalizer warmup x
+checkpoint cadence x LRU eviction x validation sweeps x rollout) that the
+math-level parity tests cannot give, mirroring the reference's de-facto
+validation workflow (/root/reference/examples/cylinder_flow/cylinder_flow.jl:53-93
+and the horizon report of /root/reference/src/MeshGraphNets.jl:624-629).
+
+Resumable: the dataset write is idempotent and train_network resumes from the
+latest checkpoint, so a backlog-runner retry continues rather than restarts.
+
+Artifact: benchmarks/results/ACCURACY_r04.json
+"""
+
+import json
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+WORK = os.environ.get("MGN_ACCURACY_WORK", "/tmp/mgn_accuracy_r04")
+DS = os.path.join(WORK, "ds")
+CP = os.path.join(WORK, "cp")
+OUT = os.path.join(WORK, "out")
+TRAIN_LOG = os.path.join(WORK, "train_metrics.jsonl")
+RESULT = os.path.join(HERE, "results", "ACCURACY_r04.json")
+
+def _env(name, default):
+    return int(os.environ.get(name, default))
+
+
+NUM_NODES = _env("MGN_ACCURACY_NODES", 1900)
+TL = _env("MGN_ACCURACY_TL", 600)
+N_TRAIN, N_VALID, N_TEST = _env("MGN_ACCURACY_NTRAIN", 32), 2, 4
+DT = 0.01
+STEPS = _env("MGN_ACCURACY_STEPS", 200_000)
+CHECKPOINT_EVERY = _env("MGN_ACCURACY_CKPT", 10_000)
+MSE_STEPS = tuple(s for s in (50, 100, 300, 599) if s < TL)
+
+HYPERS = dict(
+    mps=15, layer_size=128, hidden_layers=2,
+    norm_steps=1000, types_updated=(0, 5), types_noisy=(0,),
+    compute_dtype="bfloat16", solver_valid="euler",
+)
+
+
+def ensure_dataset():
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    if os.path.exists(os.path.join(DS, "meta.json")):
+        return
+    print("writing dataset ...", flush=True)
+    write_synthetic_dataset(DS, num_nodes=NUM_NODES, tl=TL, n_train=N_TRAIN,
+                            n_valid=N_VALID, n_test=N_TEST, dt=DT, speed=1.0)
+
+
+def persistence_report(mse_steps):
+    """Persistence baseline: hold frame 0 for the whole horizon."""
+    from mgn_tpu.rollout.evaluate import rollout_error_report
+
+    reports = []
+    with h5py.File(os.path.join(DS, "test.h5"), "r") as f:
+        for i in sorted(f.keys(), key=int)[:N_TEST]:
+            vel = np.asarray(f[i]["velocity"])  # (T, N, 2)
+            persist = np.repeat(vel[:1], vel.shape[0], axis=0)
+            reports.append(rollout_error_report(persist, vel, vel.shape[1],
+                                                mse_steps))
+    return reports
+
+
+def mean_horizons(reports, key):
+    out = {}
+    for s in MSE_STEPS:
+        vals = [r["horizons"][s][key] for r in reports if s in r["horizons"]]
+        if vals:
+            out[str(s)] = float(np.mean(vals))
+    return out
+
+
+def parse_train_log():
+    """Loss/valid curves + per-session sustained steps/s from the JSONL."""
+    curves, valid, sessions = [], [], []
+    cur = None  # [t_first, t_last, step_first, step_last]
+    if not os.path.exists(TRAIN_LOG):
+        return curves, valid, sessions
+    last_t = None
+    with open(TRAIN_LOG) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("kind") == "train":
+                t, step = rec["t"], rec["step"]
+                if last_t is None or t < last_t:  # new session (t resets)
+                    if cur is not None:
+                        sessions.append(cur)
+                    cur = [t, t, step, step]
+                cur[1], cur[3] = t, step
+                last_t = t
+                curves.append((step, rec["loss"]))
+            elif rec.get("kind") == "valid":
+                valid.append((rec["step"], rec["loss"]))
+    if cur is not None:
+        sessions.append(cur)
+    return curves, valid, sessions
+
+
+def main():
+    ensure_dataset()
+    os.makedirs(os.path.dirname(RESULT), exist_ok=True)
+
+    import optax
+
+    from mgn_tpu import DerivativeTraining, eval_network, train_network
+    from mgn_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(path=TRAIN_LOG)
+    t0 = time.time()
+    state, min_valid = train_network(
+        0.02, optax.adam(1e-4), DS, CP, metrics=log,
+        training_strategy=DerivativeTraining(),
+        steps=STEPS, checkpoint=CHECKPOINT_EVERY, num_rollouts=N_TEST,
+        **HYPERS)
+    train_wall = time.time() - t0
+    final_step = int(state.step)
+    print(f"TRAIN done: step={final_step} wall={train_wall:.1f}s "
+          f"min_valid={min_valid:.3e}", flush=True)
+
+    reports = eval_network(DS, CP, OUT, solver="euler", mse_steps=MSE_STEPS,
+                           num_rollouts=N_TEST, metrics=log, **HYPERS)
+    persist = persistence_report(MSE_STEPS)
+
+    curves, valid_curve, sessions = parse_train_log()
+    # downsample the loss curve to <=300 points for the artifact
+    stride = max(1, len(curves) // 300)
+    # sustained steps/s INCLUDING the data pipeline, per training session
+    # (a resumed run has several); overall = total steps / total wall
+    sess = [{"wall_s": round(s[1] - s[0], 1), "steps": s[3] - s[2],
+             "steps_per_s": round((s[3] - s[2]) / max(s[1] - s[0], 1e-9), 1)}
+            for s in sessions]
+    total_steps = sum(s["steps"] for s in sess)
+    total_wall = sum(s["wall_s"] for s in sess)
+
+    per_horizon = {}
+    m_rmse = mean_horizons(reports, "cum_rmse")
+    p_rmse = mean_horizons(persist, "cum_rmse")
+    m_mse = mean_horizons(reports, "mse")
+    p_mse = mean_horizons(persist, "mse")
+    for s in m_rmse:
+        per_horizon[s] = {
+            "model_cum_rmse": m_rmse[s], "persistence_cum_rmse": p_rmse[s],
+            "model_point_rmse": float(np.sqrt(m_mse[s])),
+            "persistence_point_rmse": float(np.sqrt(p_mse[s])),
+            "improvement_x": round(p_rmse[s] / max(m_rmse[s], 1e-12), 1),
+        }
+
+    result = {
+        "workload": ("synthetic cylinder-class channel, 1900 nodes, "
+                     "fixed-speed advection wave, tl=600, dt=0.01, "
+                     f"{N_TRAIN} train / {N_VALID} valid / {N_TEST} test"),
+        "config": dict(HYPERS, steps=STEPS, checkpoint=CHECKPOINT_EVERY,
+                       noise=0.02, lr=1e-4, strategy="DerivativeTraining"),
+        "train": {
+            "final_step": final_step,
+            "min_valid_loss": float(min_valid),
+            "sessions": sess,
+            "sustained_steps_per_s": round(total_steps / max(total_wall, 1e-9), 1),
+            "loss_curve": [[int(s), float(l)] for s, l in curves[::stride]],
+            "valid_curve": [[int(s), float(l)] for s, l in valid_curve],
+        },
+        "eval": {
+            "solver": "euler",
+            "num_rollouts": len(reports),
+            "per_horizon": per_horizon,
+            "final_rmse_model": float(np.mean(
+                [r["final_rmse"] for r in reports])),
+            "final_rmse_persistence": float(np.mean(
+                [r["final_rmse"] for r in persist])),
+            "rollout_steps_per_s": float(np.mean(
+                [r["steps_per_second"] for r in reports])),
+        },
+    }
+    with open(RESULT, "w") as f:
+        json.dump(result, f, indent=1)
+    print("ACCURACY_R04", json.dumps(result["eval"]["per_horizon"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

