@@ -30,7 +30,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-WORK = os.environ.get("MGN_ACCURACY_WORK", "/tmp/mgn_accuracy_r04")
+WORK = os.environ.get("MGN_ACCURACY_WORK", "/tmp/mgn_accuracy_r04b")
 DS = os.path.join(WORK, "ds")
 CP = os.path.join(WORK, "cp")
 OUT = os.path.join(WORK, "out")
@@ -46,6 +46,11 @@ TL = _env("MGN_ACCURACY_TL", 600)
 N_TRAIN, N_VALID, N_TEST = _env("MGN_ACCURACY_NTRAIN", 32), 2, 4
 DT = 0.01
 STEPS = _env("MGN_ACCURACY_STEPS", 200_000)
+# incommensurate wave speed: period = 1/(speed*dt) ~ 120.5 frames, so no
+# report horizon (50/100/300/599) lands on a multiple of the period — at
+# speed 1.0 the field returns exactly to frame 0 every 100 frames and the
+# persistence baseline gets a spuriously tiny POINT error at h=100/300
+SPEED = float(os.environ.get("MGN_ACCURACY_SPEED", 0.83))
 CHECKPOINT_EVERY = _env("MGN_ACCURACY_CKPT", 10_000)
 MSE_STEPS = tuple(s for s in (50, 100, 300, 599) if s < TL)
 
@@ -63,7 +68,7 @@ def ensure_dataset():
         return
     print("writing dataset ...", flush=True)
     write_synthetic_dataset(DS, num_nodes=NUM_NODES, tl=TL, n_train=N_TRAIN,
-                            n_valid=N_VALID, n_test=N_TEST, dt=DT, speed=1.0)
+                            n_valid=N_VALID, n_test=N_TEST, dt=DT, speed=SPEED)
 
 
 def persistence_report(mse_steps):
@@ -169,7 +174,7 @@ def main():
 
     result = {
         "workload": ("synthetic cylinder-class channel, 1900 nodes, "
-                     "fixed-speed advection wave, tl=600, dt=0.01, "
+                     f"advection wave (fixed speed {SPEED}), tl=600, dt=0.01, "
                      f"{N_TRAIN} train / {N_VALID} valid / {N_TEST} test"),
         "config": dict(HYPERS, steps=STEPS, checkpoint=CHECKPOINT_EVERY,
                        noise=0.02, lr=1e-4, strategy="DerivativeTraining"),

@@ -123,15 +123,117 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    # ---- ICI-bandwidth roofline (round-4 verdict item 5) -------------------
+    # Real multi-chip is unavailable in this environment, so predict the
+    # multi-chip edges/s efficiency from (a) the MEASURED single-chip fused
+    # throughput, (b) the exact per-P comm volumes of the halo plans built
+    # above, and (c) public v5e interconnect figures.  Assumptions recorded
+    # in the artifact; both exchange schedules modeled:
+    #   per-round: mps exchanges of the 1-ring halo each forward,
+    #   deep k=mps: ONE exchange of the mps-deep halo + redundant ghost
+    #   compute (n_ext/n_p per chip).
+    from mgn_tpu.parallel.partition import add_deep_halo_plan
+
+    eps_chip = float(os.environ.get("MGN_EPS_CHIP", 287.6e6))  # BENCH_r03
+    ici_gbs = float(os.environ.get("MGN_ICI_GBS", 100.0))  # per-chip eff. GB/s
+    lat_us = float(os.environ.get("MGN_ICI_LAT_US", 5.0))  # per collective
+    bpf = 2  # bf16 latent bytes
+    # measured (1,1) sharding-machinery overhead per schedule, read from the
+    # SPMD_r{NN}.json measurement when present (the per-round path measured
+    # 2.5x the unsharded step in r03 — launches + per-round glue; the deep
+    # schedule exists to delete that tax): the roofline must charge each
+    # schedule its own measured glue, not assume free sharding
+    glue = {"per_round": 2.5, "deep": None, "glue_source": "r03 default"}
+    for rnd_try in ("r04", "r03"):
+        p = os.path.join(_HERE, "results", f"SPMD_{rnd_try}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                sp = json.load(fh)
+            base_ms = sp.get("unsharded", {}).get("fused", {}).get(
+                "ms_per_step")
+            pr_ms = sp.get("spmd_mesh11", {}).get("fused_rounds", {}).get(
+                "ms_per_step")
+            dk = next((v for k_, v in sp.get("spmd_mesh11", {}).items()
+                       if k_.startswith("deep_k") and "ms_per_step" in v),
+                      None)
+            if base_ms and pr_ms:
+                glue = {"per_round": round(pr_ms / base_ms, 3),
+                        "deep": (round(dk["ms_per_step"] / base_ms, 3)
+                                 if dk else None),
+                        "glue_source": p}
+                break
+    deep_glue = glue["deep"] if glue["deep"] else 1.0
+    roofline = {"assumptions": {
+        "measured_single_chip_edges_per_s": eps_chip,
+        "ici_effective_GBps_per_chip": ici_gbs,
+        "per_collective_latency_us": lat_us,
+        "measured_mesh11_glue_factor": glue,
+        "note": ("efficiency = ideal_compute / (glue*compute + exposed "
+                 "comm); overlap column assumes perfect comm/compute "
+                 "overlap (max instead of sum).  Deep schedule pays "
+                 "redundant ghost compute (edge table ratio) but a single "
+                 "exchange; per-round pays its measured per-round "
+                 "launch/glue tax.")}}
+    preds = []
+    for p_count in [p for p in (2, 4, 8) if p <= n_dev]:
+        pt = add_halo_plan(partition_template(pos, node_type, s, r, p_count,
+                                              spatial_order=True))
+        t_comp_ideal = (e / p_count) * mps / eps_chip
+        # per-round schedule (charged its measured (1,1) glue tax)
+        bytes_ex = (p_count - 1) * pt.halo_size * latent * bpf
+        t_comm = mps * (bytes_ex / (ici_gbs * 1e9) + lat_us * 1e-6)
+        t_comp_pr = t_comp_ideal * glue["per_round"]
+        rec_p = {"schedule": "per_round", "devices": p_count,
+                 "halo": pt.halo_size, "exchanges": mps,
+                 "bytes_per_forward": mps * bytes_ex,
+                 "glue_factor": glue["per_round"],
+                 "eff_no_overlap": round(
+                     t_comp_ideal / (t_comp_pr + t_comm), 3),
+                 "eff_full_overlap": round(
+                     t_comp_ideal / max(t_comp_pr, t_comm), 3)}
+        preds.append(rec_p)
+        # deep k=mps schedule (glue measured once SPMD_r04 lands; 1.0 until)
+        dp = add_deep_halo_plan(pt, pos, s, r, mps, mps, build_fused=False)
+        redun = dp.edge_mask.sum(1).max() / max(pt.edge_mask.sum(1).max(), 1)
+        t_comp_d = t_comp_ideal * float(redun) * deep_glue
+        bytes_d = (p_count - 1) * dp.halo_size * latent * bpf
+        t_comm_d = bytes_d / (ici_gbs * 1e9) + lat_us * 1e-6
+        preds.append({
+            "schedule": f"deep_k{mps}", "devices": p_count,
+            "halo": dp.halo_size, "exchanges": 1,
+            "bytes_per_forward": bytes_d,
+            "ghost_compute_ratio": round(float(redun), 3),
+            "glue_factor": deep_glue,
+            "eff_no_overlap": round(
+                t_comp_ideal / (t_comp_d + t_comm_d), 3),
+            "eff_full_overlap": round(
+                t_comp_ideal / max(t_comp_d, t_comm_d), 3)})
+        print(json.dumps(preds[-2]), flush=True)
+        print(json.dumps(preds[-1]), flush=True)
+    best = {}
+    for rec in preds:
+        d = rec["devices"]
+        if d not in best or rec["eff_no_overlap"] > best[d]["eff_no_overlap"]:
+            best[d] = rec
+    meets = {d: bool(r["eff_no_overlap"] >= 0.8) for d, r in best.items()}
+
     summary = {"backend": backend, "nodes": n, "edges": e, "mps": mps,
-               "timing_meaningful": backend == "tpu"}
+               "timing_meaningful": backend == "tpu",
+               "predicted_efficiency_best": {
+                   str(d): {"schedule": r["schedule"],
+                            "eff_no_overlap": r["eff_no_overlap"],
+                            "eff_full_overlap": r["eff_full_overlap"]}
+                   for d, r in best.items()},
+               "meets_80pct_target": meets}
     print(json.dumps({"summary": summary}))
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)
     rnd = os.environ.get("MGN_BENCH_ROUND", "r03")
-    path = os.path.join(out_dir, f"SCALING_{backend}_{rnd}.json")
+    path = os.path.join(out_dir, f"SCALING_{rnd}.json")
     with open(path, "w") as fh:
-        json.dump({"summary": summary, "records": results}, fh, indent=1)
+        json.dump({"summary": summary, "records": results,
+                   "roofline": roofline | {"predictions": preds}}, fh,
+                  indent=1)
     print("wrote", path, flush=True)
 
 

@@ -159,13 +159,14 @@ def main():
     mesh = make_device_mesh(1, 1)
     spmd = {}
 
-    def spmd_time(pt, cfg, boundary_start, fused_static):
+    def spmd_time(pt, cfg, boundary_start, fused_static, deep_static=None):
         batch, bs, fs = batch_from_partitioned(
             [pt], [{"velocity": vel}], [times])
         tree = device_put_batch(mesh, batch.tree())
         step = make_spmd_derivative_step(
             mesh, cfg, spec, opt, noise_stddevs=(0.02,), norm_steps=0,
-            boundary_start=boundary_start, fused_static=fused_static)
+            boundary_start=boundary_start, fused_static=fused_static,
+            deep_static=deep_static)
         st = fresh_state(cfg)
         perms = jnp.arange(WINDOW, dtype=jnp.int32)[:, None]
 
@@ -178,10 +179,10 @@ def main():
 
     cases = []
     pt_plain = partition_template(pos, node_type, s, r, 1)
-    cases.append(("allgather", pt_plain, MGNConfig(**base), None, None))
+    cases.append(("allgather", pt_plain, MGNConfig(**base), None, None, None))
     pt_halo = add_halo_plan(partition_template(pos, node_type, s, r, 1))
     cases.append(("halo_split", pt_halo, MGNConfig(**base),
-                  pt_halo.boundary_start, None))
+                  pt_halo.boundary_start, None, None))
     if on_tpu:
         ptf = add_fused_plans(add_halo_plan(
             partition_template(pos, node_type, s, r, 1,
@@ -192,11 +193,30 @@ def main():
                      ptf.ext_nodes)
             cases.append(("fused_rounds", ptf,
                           MGNConfig(**base, fused=True, fused_backward=True),
-                          ptf.boundary_start, fstat))
-    for name, pt, cfg, bs_, fs_ in cases:
+                          ptf.boundary_start, fstat, None))
+        # k-deep ghost zones (round-4: cut the per-round launch/glue tax;
+        # k=mps is one exchange + the monolithic fused kernel per shard)
+        import dataclasses as _dc
+
+        from mgn_tpu.parallel.partition import add_deep_halo_plan
+        from mgn_tpu.parallel.spmd import deep_static_of
+
+        pt_sp = partition_template(pos, node_type, s, r, 1,
+                                   spatial_order=True)
+        for k in dict.fromkeys((MPS, 5 if MPS % 5 == 0 else MPS)):
+            try:
+                dp = add_deep_halo_plan(pt_sp, pos, s, r, k, MPS)
+            except ValueError as ex:
+                spmd[f"deep_k{k}"] = {"error": str(ex)[:200]}
+                continue
+            ptd = _dc.replace(pt_sp, deep=dp)
+            cases.append((f"deep_k{k}", ptd,
+                          MGNConfig(**base, fused=True, fused_backward=True),
+                          None, None, deep_static_of(ptd)))
+    for name, pt, cfg, bs_, fs_, ds_ in cases:
         print(f"spmd(1,1) {name}: compiling/timing...", flush=True)
         try:
-            dt = spmd_time(pt, cfg, bs_, fs_)
+            dt = spmd_time(pt, cfg, bs_, fs_, ds_)
             spmd[name] = {"ms_per_step": round(dt * 1e3, 4),
                           "steps_per_sec": round(1 / dt, 1)}
             print(f"spmd(1,1) {name}: {spmd[name]}", flush=True)
@@ -212,6 +232,25 @@ def main():
         results["spmd_overhead_vs_unsharded"] = round(
             best_spmd / ref["ms_per_step"], 3)
         print("overhead:", results["spmd_overhead_vs_unsharded"], flush=True)
+
+    # host-side comm accounting at P=4 (the real multi-chip shape): deep
+    # halos collapse exchange ROUNDS mps -> mps/k; total bytes stay
+    # comparable (depth-D halo ~ D one-rings), recorded per round-4 item 2
+    from mgn_tpu.parallel.partition import add_deep_halo_plan as _adhp
+
+    pt4 = partition_template(pos, node_type, s, r, 4, spatial_order=True)
+    pr4 = add_halo_plan(pt4)
+    acc = {"per_round": {"halo": pr4.halo_size, "exchanges": mps}}
+    for k in (mps, 5, 3):
+        if mps % k:
+            continue
+        d4 = _adhp(pt4, pos, s, r, k, mps, build_fused=False)
+        acc[f"deep_k{k}"] = {
+            "halo": d4.halo_size, "exchanges": mps // k, "depth": d4.depth,
+            "n_ext": d4.n_ext, "n_p": pt4.part_nodes,
+            "bytes_ratio_vs_per_round": round(
+                (mps // k) * d4.halo_size / (mps * pr4.halo_size), 3)}
+    results["deep_comm_p4"] = acc
 
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)

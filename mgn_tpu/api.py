@@ -306,13 +306,23 @@ class _GraphPlanner:
 
     def __init__(self, dataset, args: Args, model_cfg, node_bucket,
                  edge_bucket, include_valid: bool = False):
-        from mgn_tpu.parallel.partition import (add_fused_plans,
+        from mgn_tpu.parallel.partition import (add_deep_halo_plan,
+                                                add_fused_plans,
                                                 add_halo_plan,
                                                 partition_template)
 
         self.dataset = dataset
         self.P = args.graph_parallel
         self.try_fused = bool(model_cfg.fused)
+        # k-deep ghost zones (Args.halo_rounds, 0 = classic per-round halo):
+        # one exchange per k rounds, segments run in single fused-kernel
+        # calls over the extended tables (partition.DeepHaloPlan)
+        self.mps = int(model_cfg.message_passing_steps)
+        self.deep_rounds = int(args.halo_rounds or 0)
+        if self.deep_rounds and self.mps % self.deep_rounds:
+            raise ValueError(
+                f"halo_rounds {self.deep_rounds} must divide mps {self.mps}")
+        self._add_deep_halo_plan = add_deep_halo_plan
         # the per-round fused kernel (parallel/halo.py) wants spatially
         # ordered parts, chunk-aligned edge buckets / boundary tails, and a
         # host-side VMEM-fit check; when any trajectory's bands blow the
@@ -344,35 +354,44 @@ class _GraphPlanner:
                      for i in range(min(4, dataset.num_trajectories))]
         if include_valid:
             probe_idx += [(i, True) for i in range(min(4, dataset.num_valid))]
-        probe_parts = [self._raw_partition(i, valid)[1]
-                       for i, valid in probe_idx]
-        probe = [add_halo_plan(p, boundary_multiple=self.bucket_m)
-                 for p in probe_parts]
-        self.halo_size = max(p.halo_size for p in probe)
-        caps = [p.senders_global.shape[1] - p.boundary_start for p in probe
-                if p.boundary_start is not None]
-        self.split = len(caps) == len(probe)
-        self.boundary_cap = max(caps) if self.split else None
+        probes = [self._raw_partition(i, valid) for i, valid in probe_idx]
+        probe_parts = [pt for _, pt, _ in probes]
 
-        # second probe pass under the forced capacities fixes the fused
-        # bands across trajectories (ext_nodes is already uniform once
-        # halo_size is); any probe failure disables the fused round path
+        self.halo_size = 0
+        self.split, self.boundary_cap = False, None
         self.fused_band_s = self.fused_band_r = None
-        if self.try_fused:
-            fprobe = [add_fused_plans(add_halo_plan(
-                p, split_boundary=self.split,
-                force_halo_size=self.halo_size,
-                force_boundary_cap=self.boundary_cap,
-                boundary_multiple=self.bucket_m))
-                for p in probe_parts]
-            if all(fp.fused_rel_s is not None for fp in fprobe):
-                self.fused_band_s = max(fp.fused_band_s for fp in fprobe)
-                self.fused_band_r = max(fp.fused_band_r for fp in fprobe)
-            else:
-                self.try_fused = False
+        self.try_deep_fused = self.try_fused and self.deep_rounds > 0
+        self.d_halo = self.d_ebucket = self.d_next = 0
+        self.d_band_s = self.d_band_r = None
+        if self.deep_rounds:
+            self._fit_deep([(pt, aux) for _, pt, aux in probes])
+        else:
+            probe = [add_halo_plan(p, boundary_multiple=self.bucket_m)
+                     for p in probe_parts]
+            self.halo_size = max(p.halo_size for p in probe)
+            caps = [p.senders_global.shape[1] - p.boundary_start
+                    for p in probe if p.boundary_start is not None]
+            self.split = len(caps) == len(probe)
+            self.boundary_cap = max(caps) if self.split else None
+
+            # second probe pass under the forced capacities fixes the fused
+            # bands across trajectories (ext_nodes is already uniform once
+            # halo_size is); any probe failure disables the fused round path
+            if self.try_fused:
+                fprobe = [add_fused_plans(add_halo_plan(
+                    p, split_boundary=self.split,
+                    force_halo_size=self.halo_size,
+                    force_boundary_cap=self.boundary_cap,
+                    boundary_multiple=self.bucket_m))
+                    for p in probe_parts]
+                if all(fp.fused_rel_s is not None for fp in fprobe):
+                    self.fused_band_s = max(fp.fused_band_s for fp in fprobe)
+                    self.fused_band_r = max(fp.fused_band_r for fp in fprobe)
+                else:
+                    self.try_fused = False
 
         # static shapes shared by every planned template (read off one probe)
-        self._refresh_static(self._plan_part(probe_parts[0]))
+        self._refresh_static(self._plan_part(probes[0][1], probes[0][2]))
 
     def _raw_partition(self, i, valid=False):
         from mgn_tpu.core.graph import cells_to_edges, parse_edges
@@ -382,13 +401,48 @@ class _GraphPlanner:
             s, r = cells_to_edges(tr.cells)
         else:
             s, r = parse_edges(tr.edges)
-        return tr, self._partition_template(
+        pt = self._partition_template(
             tr.mesh_pos, tr.node_type, s, r, self.P,
             part_node_bucket=self.part_node_bucket,
             part_edge_bucket=self.part_edge_bucket,
             spatial_order=self.try_fused)
+        return tr, pt, (tr.mesh_pos, s, r)
 
-    def _plan_part(self, pt):
+    def _fit_deep(self, parts_aux):
+        """Max-merge deep ghost-zone capacities from unforced plans (probe
+        fitting and regrowing share this)."""
+        for pt, (pos, s, r) in parts_aux:
+            dp = self._add_deep_halo_plan(
+                pt, pos, s, r, self.deep_rounds, self.mps,
+                chunk=self.bucket_m, build_fused=self.try_deep_fused)
+            self.d_halo = max(self.d_halo, dp.halo_size)
+            self.d_ebucket = max(self.d_ebucket, dp.senders.shape[1])
+            self.d_next = max(self.d_next, dp.n_ext)
+            if self.try_deep_fused:
+                if dp.frel_s is None:
+                    self.try_deep_fused = False
+                    self.d_band_s = self.d_band_r = None
+                else:
+                    self.d_band_s = max(self.d_band_s or 0, dp.band_s)
+                    self.d_band_r = max(self.d_band_r or 0, dp.band_r)
+
+    def _plan_part(self, pt, aux):
+        if self.deep_rounds:
+            pos, s, r = aux
+            dp = self._add_deep_halo_plan(
+                pt, pos, s, r, self.deep_rounds, self.mps,
+                chunk=self.bucket_m, force_halo_size=self.d_halo,
+                force_edge_bucket=self.d_ebucket, force_n_ext=self.d_next,
+                force_band_s=self.d_band_s, force_band_r=self.d_band_r,
+                build_fused=self.try_deep_fused)
+            if self.try_deep_fused and dp.frel_s is None:
+                # forced bands narrower than this trajectory needs: treat as
+                # a capacity overflow so get() regrows instead of shipping a
+                # structurally different (unfused) batch
+                raise ValueError("deep fused bands exceed forced widths")
+            import dataclasses as _dc
+
+            return _dc.replace(pt, deep=dp)
         pt = self._add_halo_plan(pt, split_boundary=self.split,
                                  force_halo_size=self.halo_size,
                                  force_boundary_cap=self.boundary_cap,
@@ -404,16 +458,24 @@ class _GraphPlanner:
         self.fused_static = (
             (pt.fused_band_s, pt.fused_band_r, pt.fused_chunk, pt.ext_nodes)
             if pt.fused_rel_s is not None else None)
+        self.deep_static = None
+        if pt.deep is not None:
+            d = pt.deep
+            self.deep_static = (d.rounds, d.band_s, d.band_r, d.chunk)
 
     def _invalidate(self):
         self.cache = BytesLRU(self.cache.cap)
         self.generation += 1
 
-    def _grow(self, pt):
+    def _grow(self, pt, aux):
         """A trajectory's halo/boundary/band requirements exceeded the probed
         capacities: refit them including this partition (max-merge), drop the
         stale cached plans, and bump ``generation`` so every graph-parallel
         loop rebuilds its compiled step (round-3 verdict weak item 2)."""
+        if self.deep_rounds:
+            self._fit_deep([(pt, aux)])
+            self._invalidate()
+            return
         unforced = self._add_halo_plan(pt, boundary_multiple=self.bucket_m)
         self.halo_size = max(self.halo_size, unforced.halo_size)
         if self.split:
@@ -466,14 +528,14 @@ class _GraphPlanner:
             gen0 = self.generation
             while True:
                 try:
-                    tr, pt = self._raw_partition(i, valid)
+                    tr, pt, aux = self._raw_partition(i, valid)
                 except ValueError:
                     self._grow_buckets()
                     continue
                 try:
-                    planned = self._plan_part(pt)
+                    planned = self._plan_part(pt, aux)
                 except ValueError:
-                    self._grow(pt)
+                    self._grow(pt, aux)
                     continue
                 if self.generation != gen0:
                     self._refresh_static(planned)
@@ -574,6 +636,7 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
             rtol=args.rtol, atol=args.atol,
             boundary_start=planner.boundary_start,
             fused_static=planner.fused_static,
+            deep_static=planner.deep_static,
         )
 
     strategy = args.training_strategy
@@ -590,13 +653,15 @@ def _train_network_spmd(dataset, meta, args: Args, opt, noise, ckpt,
                 types_updated=args.types_updated,
                 types_inflow=args.types_inflow, norm_steps=args.norm_steps,
                 boundary_start=planner.boundary_start,
-                fused_static=planner.fused_static)
+                fused_static=planner.fused_static,
+                deep_static=planner.deep_static)
         return make_spmd_derivative_step(
             mesh, model_cfg, spec, opt, noise_stddevs=noise,
             types_updated=args.types_updated,
             types_noisy=args.types_noisy, norm_steps=args.norm_steps,
             boundary_start=planner.boundary_start,
-            fused_static=planner.fused_static)
+            fused_static=planner.fused_static,
+            deep_static=planner.deep_static)
 
     tl = int(meta["trajectory_length"])
     delta = get_delta(strategy, tl)
@@ -785,6 +850,7 @@ def _eval_network_spmd(dataset, meta, args: Args, params, norm, model_cfg,
             rtol=args.rtol, atol=args.atol,
             boundary_start=planner.boundary_start,
             fused_static=planner.fused_static,
+            deep_static=planner.deep_static,
         )
 
     reports, exports = [], []
@@ -929,6 +995,17 @@ def _simulate_spmd(traj, args: Args, params, norm, model_cfg, spec,
         pt = add_fused_plans(pt)
     fused_static = ((pt.fused_band_s, pt.fused_band_r, pt.fused_chunk,
                      pt.ext_nodes) if pt.fused_rel_s is not None else None)
+    deep_static = None
+    if args.halo_rounds:
+        import dataclasses as _dc
+
+        from mgn_tpu.parallel.partition import add_deep_halo_plan
+
+        dp = add_deep_halo_plan(pt, traj.mesh_pos, s, r, args.halo_rounds,
+                                model_cfg.message_passing_steps,
+                                chunk=bucket_m, build_fused=try_fused)
+        pt = _dc.replace(pt, deep=dp)
+        deep_static = (dp.rounds, dp.band_s, dp.band_r, dp.chunk)
 
     mesh = make_device_mesh(1, args.graph_parallel)
     rep = NamedSharding(mesh, PartitionSpec())
@@ -939,7 +1016,8 @@ def _simulate_spmd(traj, args: Args, params, norm, model_cfg, spec,
         mesh, model_cfg, spec, solver=solver,
         types_updated=args.types_updated, types_inflow=args.types_inflow,
         rtol=args.rtol, atol=args.atol, forced=False,
-        boundary_start=pt.boundary_start, fused_static=fused_static)
+        boundary_start=pt.boundary_start, fused_static=fused_static,
+        deep_static=deep_static)
     pred, _ = srollout(params, norm, batch, jnp.asarray(times, jnp.float32),
                        jnp.asarray(traj.times, jnp.float32))
     return unpermute_sharded(pt, np.asarray(pred), traj.num_nodes)

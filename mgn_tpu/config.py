@@ -82,6 +82,15 @@ class Args:
     # together with batchsize this selects the (data, graph) device mesh and
     # routes train_network through the SPMD halo-exchange step
     graph_parallel: int = 1
+    # processor rounds per halo exchange under graph parallelism (k-deep
+    # ghost zones, parallel/partition.add_deep_halo_plan).  None = auto
+    # (= mps: ONE exchange per forward, whole processor in one fused-kernel
+    # call per shard — the per-round path cost 2.5x the unsharded step at
+    # mesh (1,1), benchmarks/results/SPMD_r03.json); 0 = classic per-round
+    # halo exchange; k must divide mps.  Redundant ghost compute grows with
+    # k (depth k single-segment, 2k-1 multi-segment) — tune down on meshes
+    # where the k-ring rivals the part size.
+    halo_rounds: Optional[int] = None
     prefetch: int = 2
     # cap on DEVICE-resident cached trajectory data (prepared field stacks /
     # partitioned templates), LRU-evicted beyond this.  Bounds HBM use on
@@ -113,4 +122,6 @@ class Args:
             fused=on_tpu if self.fused is None else self.fused,
             fused_backward=(on_tpu if self.fused_backward is None
                             else self.fused_backward),
+            halo_rounds=(self.mps if self.halo_rounds is None
+                         else self.halo_rounds),
         )

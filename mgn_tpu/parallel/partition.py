@@ -27,8 +27,9 @@ import numpy as np
 from mgn_tpu.core.graph import (bucket_size, csr_row_offsets,
                                 relative_mesh_features)
 
-__all__ = ["PartitionedTemplate", "bisect_partition", "partition_template",
-           "add_halo_plan", "add_fused_plans"]
+__all__ = ["PartitionedTemplate", "DeepHaloPlan", "bisect_partition",
+           "partition_template", "add_halo_plan", "add_fused_plans",
+           "add_deep_halo_plan", "deep_depth"]
 
 
 @dataclasses.dataclass
@@ -73,6 +74,8 @@ class PartitionedTemplate:
     fused_band_r: int = 0
     fused_chunk: int = 0
     ext_nodes: int = 0
+    # --- k-deep ghost-zone plan (None until add_deep_halo_plan attaches) ----
+    deep: Optional["DeepHaloPlan"] = None
 
     @property
     def num_nodes_padded(self) -> int:
@@ -392,3 +395,232 @@ def add_fused_plans(pt: PartitionedTemplate,
         fused_starts_r=np.stack([np.asarray(pl.starts_r) for pl in plans]),
         fused_band_s=band_s, fused_band_r=band_r,
         fused_chunk=plans[0].chunk, ext_nodes=n_ext)
+
+
+# --- k-deep halo (ghost zones): exchange once per k rounds -------------------
+
+@dataclasses.dataclass
+class DeepHaloPlan:
+    """Per-part k-deep ghost-zone plan (leading axis = parts).
+
+    The per-round halo exchange costs one ``all_to_all`` + extended-table
+    glue + a separate kernel launch EVERY round — measured 2.5x the
+    unsharded monolithic step at mesh (1,1) (benchmarks/results/SPMD_r03.json).
+    This plan trades redundant halo compute for communication rounds: each
+    part's node table is extended with every node within graph distance
+    ``depth`` of its owned set, the edge table with every edge whose receiver
+    is within ``depth - 1``, and ``rounds`` processor rounds run locally in
+    ONE fused-kernel call between exchanges.  After a fresh exchange, a node
+    at distance d stays exact for the first ``depth - d`` rounds, so owned
+    nodes (d=0) are exact after ``rounds <= depth`` rounds.  Edge latents
+    never travel: they are recomputed redundantly in the halo region, which
+    is why a MULTI-segment schedule needs ``depth = 2*rounds - 1`` (an edge
+    latent at receiver-distance d is exact after a segment only for
+    d <= depth - rounds, and the next segment's owned cone needs
+    d <= rounds - 1); a single segment covering all ``mps`` rounds starts
+    from freshly encoded edge latents and needs only ``depth = rounds``.
+
+    The extended table is sorted by the part-major spatial sweep order
+    (``partition_template(spatial_order=True)``'s global ids), which keeps
+    the fused kernel's sender/receiver bands as narrow as the single-chip
+    case; ``src`` places ``[own latents ; received halo ; one zero row]``
+    into that order after each exchange.
+    """
+
+    src: np.ndarray        # (P, N_ext) int32 -> concat([own(N_p); recv(P*H); 0-row])
+    own_pos: np.ndarray    # (P, N_p) int32: own slot l lives at ext row own_pos[l]
+    serve: np.ndarray      # (P, P, H) int32 own-local slots part p sends part q
+    serve_mask: np.ndarray  # (P, P, H) bool
+    senders: np.ndarray    # (P, E_ext) int32, ext-local
+    receivers: np.ndarray  # (P, E_ext) int32, ext-local, receiver-sorted
+    edge_mask: np.ndarray  # (P, E_ext) bool
+    mef: np.ndarray        # (P, E_ext, D+1) mesh edge features
+    rows: np.ndarray       # (P, N_ext+1) int32 CSR over ext receivers
+    halo_size: int         # H
+    n_ext: int             # static extended rows (128-multiple, >= real+1)
+    depth: int             # ghost-zone depth D
+    rounds: int            # processor rounds per exchange (k)
+    # fused banding over the extended table (None => XLA fallback)
+    frel_s: Optional[np.ndarray] = None   # (P, C, chunk)
+    frel_r: Optional[np.ndarray] = None   # (P, C, chunk)
+    fstarts_s: Optional[np.ndarray] = None  # (P, C)
+    fstarts_r: Optional[np.ndarray] = None  # (P, C)
+    band_s: int = 0
+    band_r: int = 0
+    chunk: int = 0
+
+
+def deep_depth(rounds: int, mps: int) -> int:
+    """Ghost-zone depth sustaining exactness for ``rounds``-round segments."""
+    return rounds if rounds >= mps else 2 * rounds - 1
+
+
+def add_deep_halo_plan(
+    pt: PartitionedTemplate,
+    mesh_pos: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    rounds: int,
+    mps: int,
+    halo_multiple: int = 8,
+    chunk: int = 512,
+    max_band_s: int = 2048,
+    max_band_r: int = 1024,
+    force_halo_size: Optional[int] = None,
+    force_edge_bucket: Optional[int] = None,
+    force_n_ext: Optional[int] = None,
+    force_band_s: Optional[int] = None,
+    force_band_r: Optional[int] = None,
+    build_fused: bool = True,
+) -> DeepHaloPlan:
+    """Build the k-deep ghost-zone plan from the GLOBAL edge list.
+
+    ``pt`` fixes the part assignment / ordering (use
+    ``partition_template(spatial_order=True)`` so the extended table is
+    spatially banded); ``senders``/``receivers`` are the original 0-based
+    global edge list and ``mesh_pos`` the original positions (the deep edge
+    table includes halo-region edges that no per-part table holds).
+    ``rounds`` must divide ``mps``.  The ``force_*`` knobs pin the static
+    shapes across trajectories (SPMD one-compile); a forced capacity smaller
+    than required raises ``ValueError`` (the planner catch-and-replan path).
+    """
+    if mps % rounds != 0:
+        raise ValueError(f"rounds {rounds} must divide mps {mps}")
+    depth = deep_depth(rounds, mps)
+    P, n_p = pt.num_parts, pt.part_nodes
+    mesh_pos = np.asarray(mesh_pos, np.float32)
+    senders = np.asarray(senders, np.int64).reshape(-1)
+    receivers = np.asarray(receivers, np.int64).reshape(-1)
+    n = mesh_pos.shape[0]
+
+    counts = pt.node_mask.sum(1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    pos = pt.perm[:n]
+    part_of = (np.searchsorted(offsets, pos, side="right") - 1).astype(np.int64)
+    local_of = pos - offsets[part_of]
+    gid = part_of * n_p + local_of  # original id -> padded global id
+
+    # distance-to-owned-set per part: D sweeps of sender <- receiver+1
+    big = np.iinfo(np.int32).max // 2
+    dist = np.full((P, n), big, np.int32)
+    dist[part_of, np.arange(n)] = 0
+    for _ in range(depth):
+        for p in range(P):
+            np.minimum.at(dist[p], senders, dist[p][receivers] + 1)
+
+    # halo requests / serve lists (exchange structure of add_halo_plan, but
+    # for every remote node within distance ``depth``)
+    requests = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
+    for p in range(P):
+        sel = (dist[p] <= depth) & (part_of != p)
+        ids = np.nonzero(sel)[0]
+        for q in range(P):
+            if q == p:
+                continue
+            requests[p][q] = np.sort(local_of[ids[part_of[ids] == q]])
+    h = max((len(requests[p][q]) for p in range(P) for q in range(P)),
+            default=0)
+    h = max(halo_multiple, int(-(-h // halo_multiple) * halo_multiple))
+    if force_halo_size is not None:
+        if force_halo_size < h:
+            raise ValueError(
+                f"forced deep halo size {force_halo_size} < required {h}")
+        h = force_halo_size
+    serve = np.zeros((P, P, h), np.int32)
+    serve_mask = np.zeros((P, P, h), bool)
+    for p in range(P):
+        for q in range(P):
+            req = requests[q][p]
+            serve[p, q, : len(req)] = req
+            serve_mask[p, q, : len(req)] = True
+
+    # extended node tables: all own slots (pads included, so own_pos spans
+    # N_p) + halo reals, sorted by gid = part-major spatial sweep order
+    ext_gids, ext_edges = [], []
+    mef_all = relative_mesh_features(mesh_pos, senders, receivers)
+    for p in range(P):
+        own = p * n_p + np.arange(n_p, dtype=np.int64)
+        halo = gid[(dist[p] <= depth) & (part_of != p)]
+        ext_gids.append(np.sort(np.concatenate([own, halo])))
+        ext_edges.append(np.nonzero(dist[p][receivers] <= depth - 1)[0])
+    n_ext = max(len(g) for g in ext_gids) + 1
+    n_ext = int(-(-n_ext // 128) * 128)
+    if force_n_ext is not None:
+        if force_n_ext < n_ext:
+            raise ValueError(f"forced n_ext {force_n_ext} < required {n_ext}")
+        n_ext = force_n_ext
+    e_ext = max(len(e) for e in ext_edges)
+    e_ext = max(chunk, int(-(-e_ext // chunk) * chunk))
+    if force_edge_bucket is not None:
+        if force_edge_bucket < e_ext:
+            raise ValueError(
+                f"forced deep edge bucket {force_edge_bucket} < required {e_ext}")
+        e_ext = force_edge_bucket
+
+    src = np.full((P, n_ext), n_p + P * h, np.int32)  # pad rows -> zero row
+    own_pos = np.zeros((P, n_p), np.int32)
+    s_ext = np.full((P, e_ext), n_ext - 1, np.int32)
+    r_ext = np.full((P, e_ext), n_ext - 1, np.int32)
+    emask = np.zeros((P, e_ext), bool)
+    mef = np.zeros((P, e_ext, mef_all.shape[1]), np.float32)
+    rows = np.zeros((P, n_ext + 1), np.int32)
+    for p in range(P):
+        g = ext_gids[p]
+        k = len(g)
+        owner = g // n_p
+        loc = g % n_p
+        sidx = np.empty(k, np.int64)
+        own = owner == p
+        sidx[own] = loc[own]
+        for q in range(P):
+            if q == p:
+                continue
+            sel = owner == q
+            if sel.any():
+                sidx[sel] = n_p + q * h + np.searchsorted(requests[p][q],
+                                                          loc[sel])
+        src[p, :k] = sidx.astype(np.int32)
+        own_pos[p] = np.searchsorted(g, p * n_p
+                                     + np.arange(n_p)).astype(np.int32)
+
+        eid = ext_edges[p]
+        rl = np.searchsorted(g, gid[receivers[eid]])
+        o = np.argsort(rl, kind="stable")
+        eid, rl = eid[o], rl[o]
+        m = len(eid)
+        s_ext[p, :m] = np.searchsorted(g, gid[senders[eid]]).astype(np.int32)
+        r_ext[p, :m] = rl.astype(np.int32)
+        emask[p, :m] = True
+        mef[p, :m] = mef_all[eid]
+        rows[p, : n_ext] = csr_row_offsets(rl, n_ext - 1)
+        rows[p, n_ext] = e_ext  # dead edges land on the last padded row
+
+    plan = DeepHaloPlan(
+        src=src, own_pos=own_pos, serve=serve, serve_mask=serve_mask,
+        senders=s_ext, receivers=r_ext, edge_mask=emask, mef=mef, rows=rows,
+        halo_size=h, n_ext=n_ext, depth=depth, rounds=rounds)
+    if not build_fused:
+        return plan
+
+    from mgn_tpu.ops.fused import build_fused_plan
+
+    def build(p, bs=None, br=None):
+        return build_fused_plan(s_ext[p], r_ext[p], n_ext, max_band_s,
+                                max_band_r, chunk, force_band_s=bs,
+                                force_band_r=br)
+
+    plans = [build(p) for p in range(P)]
+    if any(pl is None for pl in plans):
+        return plan  # bands blown: XLA fallback, plan still usable
+    band_s = force_band_s or max(pl.band_s for pl in plans)
+    band_r = force_band_r or max(pl.band_r for pl in plans)
+    plans = [build(p, band_s, band_r) for p in range(P)]
+    if any(pl is None for pl in plans):
+        return plan
+    return dataclasses.replace(
+        plan,
+        frel_s=np.stack([np.asarray(pl.rel_s) for pl in plans]),
+        frel_r=np.stack([np.asarray(pl.rel_r) for pl in plans]),
+        fstarts_s=np.stack([np.asarray(pl.starts_s) for pl in plans]),
+        fstarts_r=np.stack([np.asarray(pl.starts_r) for pl in plans]),
+        band_s=band_s, band_r=band_r, chunk=plans[0].chunk)

@@ -92,6 +92,15 @@ def sharded_rollout_batch(
         out["fused_rel_r"] = pt.fused_rel_r
         out["fused_starts_s"] = pt.fused_starts_s
         out["fused_starts_r"] = pt.fused_starts_r
+    if pt.deep is not None:
+        d = pt.deep
+        out.update(deep_src=d.src, deep_own=d.own_pos, deep_serve=d.serve,
+                   deep_senders=d.senders, deep_receivers=d.receivers,
+                   deep_edge_mask=d.edge_mask, deep_mef=d.mef,
+                   deep_rows=d.rows)
+        if d.frel_s is not None:
+            out.update(deep_frel_s=d.frel_s, deep_frel_r=d.frel_r,
+                       deep_fstarts_s=d.fstarts_s, deep_fstarts_r=d.fstarts_r)
     return out
 
 
@@ -102,7 +111,10 @@ def BATCH_AXES(axis_name: str, lead=()):  # noqa: N802 — spec-table factory
             "receivers_local", "node_mask", "edge_mask", "node_type",
             "halo_serve", "senders_halo", "row_offsets_int",
             "row_offsets_bnd", "fused_rel_s", "fused_rel_r",
-            "fused_starts_s", "fused_starts_r")
+            "fused_starts_s", "fused_starts_r",
+            "deep_src", "deep_own", "deep_serve", "deep_senders",
+            "deep_receivers", "deep_edge_mask", "deep_mef", "deep_rows",
+            "deep_frel_s", "deep_frel_r", "deep_fstarts_s", "deep_fstarts_r")
     return {k: P(*lead, axis_name) for k in keys}
 
 
@@ -110,18 +122,41 @@ def shard_parts(b: Dict[str, Any], model_cfg: MGNConfig,
                 types_updated: Tuple[int, ...],
                 types_inflow: Tuple[int, ...],
                 boundary_start: Optional[int],
-                fused_static: Optional[Tuple[int, int, int, int]]):
+                fused_static: Optional[Tuple[int, int, int, int]],
+                deep_static: Optional[Tuple[int, int, int, int]] = None):
     """Decode one shard's static graph pieces (masks, exchange mode, fused
     plan) from a sharded batch tree whose leading part axis is already
     squeezed.  Shared by the sharded rollout and the graph-parallel solver
-    trainer (parallel/spmd.make_spmd_solver_step)."""
+    trainer (parallel/spmd.make_spmd_solver_step).
+
+    ``deep_static = (rounds, band_s, band_r, chunk)``: when given and the
+    tree carries ``deep_*`` arrays, the forward takes the k-deep ghost-zone
+    path (partition.DeepHaloPlan) — one exchange per ``rounds`` processor
+    rounds instead of one per round."""
     node_mask = b["node_mask"]
     node_type = b["node_type"]
     use_halo = "halo_serve" in b
+    use_deep = deep_static is not None and "deep_src" in b
     use_split = use_halo and "row_offsets_int" in b \
         and boundary_start is not None
     use_fused = (use_halo and "fused_rel_s" in b
                  and fused_static is not None and model_cfg.fused)
+    deep = None
+    if use_deep:
+        rounds, dband_s, dband_r, dchunk = deep_static
+        dplan = None
+        if "deep_frel_s" in b and dband_s and model_cfg.fused:
+            from mgn_tpu.ops.fused import FusedPlan
+
+            dplan = FusedPlan(rel_s=b["deep_frel_s"], rel_r=b["deep_frel_r"],
+                              starts_s=b["deep_fstarts_s"],
+                              starts_r=b["deep_fstarts_r"],
+                              band_s=dband_s, band_r=dband_r, chunk=dchunk)
+        deep = {"src": b["deep_src"], "own": b["deep_own"],
+                "serve": b["deep_serve"], "senders": b["deep_senders"],
+                "receivers": b["deep_receivers"],
+                "edge_mask": b["deep_edge_mask"], "mef": b["deep_mef"],
+                "rows": b["deep_rows"], "rounds": rounds, "plan": dplan}
     plan, ext = None, 0
     if use_fused:
         from mgn_tpu.ops.fused import FusedPlan
@@ -132,6 +167,7 @@ def shard_parts(b: Dict[str, Any], model_cfg: MGNConfig,
                          starts_r=b["fused_starts_r"],
                          band_s=band_s, band_r=band_r, chunk=chunk)
     return {
+        "deep": deep,
         "node_mask": node_mask,
         "edge_mask": b["edge_mask"],
         "node_type": node_type,
@@ -182,19 +218,33 @@ def make_shard_deriv(parts, params, norm: NormState, spec: FieldSpec,
         nf_parts = [norm.node[f](values[f]) for f in spec.fields]
         nf_parts.append(norm.node["node_type"](parts["nto"]))
         nf = jnp.concatenate(nf_parts, -1) * parts["node_mask"][:, None]
-        ef = norm.edge(parts["mef"]) * parts["edge_mask"][:, None]
-        out = apply_mgn_sharded(
-            params, nf, ef, parts["sg"], parts["rl"],
-            parts["node_mask"], parts["edge_mask"], model_cfg,
-            axis_name=axis_name,
-            halo_serve=parts["halo_serve"] if parts["use_halo"] else None,
-            senders_halo=parts["senders_halo"] if parts["use_halo"] else None,
-            boundary_start=boundary_start if use_split else None,
-            row_offsets_int=parts["row_offsets_int"] if use_split else None,
-            row_offsets_bnd=parts["row_offsets_bnd"] if use_split else None,
-            fused_plan=parts["plan"],
-            ext_nodes=parts["ext"],
-        )
+        deep = parts.get("deep")
+        if deep is not None:
+            from mgn_tpu.parallel.halo import apply_mgn_sharded_deep
+
+            ef_d = norm.edge(deep["mef"]) * deep["edge_mask"][:, None]
+            out = apply_mgn_sharded_deep(
+                params, nf, ef_d, model_cfg, axis_name,
+                deep["src"], deep["own"], deep["serve"], deep["senders"],
+                deep["receivers"], deep["edge_mask"], deep["rows"],
+                deep["rounds"], fused_plan=deep["plan"])
+        else:
+            ef = norm.edge(parts["mef"]) * parts["edge_mask"][:, None]
+            out = apply_mgn_sharded(
+                params, nf, ef, parts["sg"], parts["rl"],
+                parts["node_mask"], parts["edge_mask"], model_cfg,
+                axis_name=axis_name,
+                halo_serve=parts["halo_serve"] if parts["use_halo"] else None,
+                senders_halo=(parts["senders_halo"] if parts["use_halo"]
+                              else None),
+                boundary_start=boundary_start if use_split else None,
+                row_offsets_int=(parts["row_offsets_int"] if use_split
+                                 else None),
+                row_offsets_bnd=(parts["row_offsets_bnd"] if use_split
+                                 else None),
+                fused_plan=parts["plan"],
+                ext_nodes=parts["ext"],
+            )
         dparts = []
         for ti, (f, sl) in enumerate(zip(spec.target_fields,
                                          spec.target_slices())):
@@ -223,6 +273,7 @@ def make_sharded_rollout_fn(
     forced: bool = True,
     boundary_start: Optional[int] = None,
     fused_static: Optional[Tuple[int, int, int, int]] = None,
+    deep_static: Optional[Tuple[int, int, int, int]] = None,
     axis_name: str = "graph",
 ) -> Callable:
     """Build ``rollout(params, norm, batch_tree, times) -> (pred, loss)``.
@@ -252,7 +303,7 @@ def make_sharded_rollout_fn(
                    else {f: sq(a) for f, a in v.items()})
                for k, v in b.items()}
         parts = shard_parts(bsq, model_cfg, types_updated, types_inflow,
-                            boundary_start, fused_static)
+                            boundary_start, fused_static, deep_static)
         val_mask = parts["val_mask"]
 
         fields = bsq["fields"]  # (T, N_p, d) each

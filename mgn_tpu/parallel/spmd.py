@@ -87,6 +87,19 @@ class SpmdBatch:
     fused_rel_r: Any = None  # (B, P, C, chunk)
     fused_starts_s: Any = None  # (B, P, C)
     fused_starts_r: Any = None  # (B, P, C)
+    # k-deep ghost-zone plan (optional; see partition.DeepHaloPlan)
+    deep_src: Any = None  # (B, P, N_ext)
+    deep_own: Any = None  # (B, P, N_p)
+    deep_serve: Any = None  # (B, P, P, H)
+    deep_senders: Any = None  # (B, P, E_ext)
+    deep_receivers: Any = None  # (B, P, E_ext)
+    deep_edge_mask: Any = None  # (B, P, E_ext)
+    deep_mef: Any = None  # (B, P, E_ext, D+1)
+    deep_rows: Any = None  # (B, P, N_ext+1)
+    deep_frel_s: Any = None  # (B, P, C, chunk)
+    deep_frel_r: Any = None  # (B, P, C, chunk)
+    deep_fstarts_s: Any = None  # (B, P, C)
+    deep_fstarts_r: Any = None  # (B, P, C)
 
     def tree(self) -> Dict[str, Any]:
         return {k: v for k, v in dataclasses.asdict(self).items()
@@ -106,6 +119,11 @@ def batch_from_partitioned(
     when any lacks it), and the shared fused-plan statics
     ``(band_s, band_r, chunk, ext_nodes)`` (None unless every trajectory
     carries identical ones — force them via ``add_fused_plans``).
+
+    When every template carries a ``deep`` ghost-zone plan
+    (``partition.add_deep_halo_plan``) its arrays ride along under the
+    ``deep_*`` keys; read the shared ``(rounds, band_s, band_r, chunk)``
+    statics via :func:`deep_static_of`.
 
     Trajectories of unequal length are edge-padded along T (times too); the
     host-side frame sampler never draws a padded index.
@@ -150,6 +168,18 @@ def batch_from_partitioned(
             raise ValueError("all trajectories must share fused-plan bands "
                              "(use add_fused_plans force_band_s/force_band_r)")
 
+    has_deep = all(p.deep is not None for p in ptemplates)
+    if has_deep:
+        ds = deep_static_of(ptemplates[0])
+        if any(deep_static_of(p) != ds for p in ptemplates):
+            raise ValueError("all trajectories must share deep-plan statics "
+                             "(force them via add_deep_halo_plan force_*)")
+    has_dfused = has_deep and all(p.deep.frel_s is not None
+                                  for p in ptemplates)
+
+    def dstack(attr):
+        return np.stack([getattr(p.deep, attr) for p in ptemplates])
+
     return SpmdBatch(
         node_type_onehot=stack("node_type_onehot"),
         mesh_edge_features=stack("mesh_edge_features"),
@@ -168,7 +198,28 @@ def batch_from_partitioned(
         fused_rel_r=stack("fused_rel_r") if has_fused else None,
         fused_starts_s=stack("fused_starts_s") if has_fused else None,
         fused_starts_r=stack("fused_starts_r") if has_fused else None,
+        deep_src=dstack("src") if has_deep else None,
+        deep_own=dstack("own_pos") if has_deep else None,
+        deep_serve=dstack("serve") if has_deep else None,
+        deep_senders=dstack("senders") if has_deep else None,
+        deep_receivers=dstack("receivers") if has_deep else None,
+        deep_edge_mask=dstack("edge_mask") if has_deep else None,
+        deep_mef=dstack("mef") if has_deep else None,
+        deep_rows=dstack("rows") if has_deep else None,
+        deep_frel_s=dstack("frel_s") if has_dfused else None,
+        deep_frel_r=dstack("frel_r") if has_dfused else None,
+        deep_fstarts_s=dstack("fstarts_s") if has_dfused else None,
+        deep_fstarts_r=dstack("fstarts_r") if has_dfused else None,
     ), bs, fused_static
+
+
+def deep_static_of(pt: PartitionedTemplate):
+    """Shared static shape tuple of a template's deep plan:
+    ``(rounds, band_s, band_r, chunk)`` (bands 0 => XLA fallback path)."""
+    d = pt.deep
+    if d is None:
+        return None
+    return (d.rounds, d.band_s, d.band_r, d.chunk)
 
 
 def _partition_frame(p: PartitionedTemplate, frame: np.ndarray) -> np.ndarray:
@@ -206,6 +257,18 @@ _BATCH_AXES = {
     "fused_rel_r": P("data", "graph"),
     "fused_starts_s": P("data", "graph"),
     "fused_starts_r": P("data", "graph"),
+    "deep_src": P("data", "graph"),
+    "deep_own": P("data", "graph"),
+    "deep_serve": P("data", "graph"),
+    "deep_senders": P("data", "graph"),
+    "deep_receivers": P("data", "graph"),
+    "deep_edge_mask": P("data", "graph"),
+    "deep_mef": P("data", "graph"),
+    "deep_rows": P("data", "graph"),
+    "deep_frel_s": P("data", "graph"),
+    "deep_frel_r": P("data", "graph"),
+    "deep_fstarts_s": P("data", "graph"),
+    "deep_fstarts_r": P("data", "graph"),
 }
 
 
@@ -248,6 +311,7 @@ def make_spmd_derivative_step(
     norm_steps: int = 0,
     boundary_start: Optional[int] = None,
     fused_static: Optional[Tuple[int, int, int, int]] = None,
+    deep_static: Optional[Tuple[int, int, int, int]] = None,
 ) -> Callable:
     """Build the jitted SPMD derivative-training step.
 
@@ -264,7 +328,14 @@ def make_spmd_derivative_step(
     ``fused_static = (band_s, band_r, chunk, ext_nodes)`` (same source)
     routes each round through the fused Pallas kernel when the batch carries
     banding plans and ``model_cfg.fused``.
+    ``deep_static = (rounds, band_s, band_r, chunk)`` (``deep_static_of``)
+    routes the forward through the k-deep ghost-zone path instead — one
+    exchange per ``rounds`` rounds, whole segments in one fused-kernel call
+    (partition.DeepHaloPlan); it takes precedence when the batch carries
+    ``deep_*`` arrays.
     """
+    from mgn_tpu.parallel.rollout import shard_parts
+
     axes = ("data", "graph")
 
     def sigma(i):
@@ -336,56 +407,54 @@ def make_spmd_derivative_step(
                              output=out_norms)
 
             # --- loss over the local shard: map over the local batch --------
-            def per_traj_loss(params, args):
-                (u_b, tgt_b, upd_m, n_m, e_m, mef_b, sg, rl, nto,
-                 hs, sh, roi, rob, frs, frr, fss, fsr) = args
-                plan, ext = None, 0
-                if use_fused:
-                    from mgn_tpu.ops.fused import FusedPlan
+            def per_traj_loss(params, tb):
+                parts = shard_parts(tb, model_cfg, types_updated, (),
+                                    boundary_start, fused_static, deep_static)
+                nfp = [norm.node[f](tb["u"][f]) for f in spec.fields]
+                nfp.append(norm.node["node_type"](parts["nto"]))
+                nf = jnp.concatenate(nfp, -1) * parts["node_mask"][:, None]
+                deep = parts["deep"]
+                if deep is not None:
+                    from mgn_tpu.parallel.halo import apply_mgn_sharded_deep
 
-                    band_s, band_r, chunk, ext = fused_static
-                    plan = FusedPlan(rel_s=frs, rel_r=frr, starts_s=fss,
-                                     starts_r=fsr, band_s=band_s,
-                                     band_r=band_r, chunk=chunk)
-                parts = [norm.node[f](u_b[f]) for f in spec.fields]
-                parts.append(norm.node["node_type"](nto))
-                nf = jnp.concatenate(parts, -1) * n_m[:, None]
-                ef = norm.edge(mef_b) * e_m[:, None]
-                out = apply_mgn_sharded(
-                    params, nf, ef, sg, rl, n_m, e_m, model_cfg,
-                    axis_name="graph",
-                    halo_serve=hs if use_halo else None,
-                    senders_halo=sh if use_halo else None,
-                    boundary_start=boundary_start if use_split else None,
-                    row_offsets_int=roi if use_split else None,
-                    row_offsets_bnd=rob if use_split else None,
-                    fused_plan=plan,
-                    ext_nodes=ext,
-                )
+                    ef_d = norm.edge(deep["mef"]) * deep["edge_mask"][:, None]
+                    out = apply_mgn_sharded_deep(
+                        params, nf, ef_d, model_cfg, "graph",
+                        deep["src"], deep["own"], deep["serve"],
+                        deep["senders"], deep["receivers"],
+                        deep["edge_mask"], deep["rows"], deep["rounds"],
+                        fused_plan=deep["plan"])
+                else:
+                    ef = (norm.edge(parts["mef"])
+                          * parts["edge_mask"][:, None])
+                    out = apply_mgn_sharded(
+                        params, nf, ef, parts["sg"], parts["rl"],
+                        parts["node_mask"], parts["edge_mask"], model_cfg,
+                        axis_name="graph",
+                        halo_serve=(parts["halo_serve"] if use_halo
+                                    else None),
+                        senders_halo=(parts["senders_halo"] if use_halo
+                                      else None),
+                        boundary_start=(boundary_start if use_split
+                                        else None),
+                        row_offsets_int=(parts["row_offsets_int"]
+                                         if use_split else None),
+                        row_offsets_bnd=(parts["row_offsets_bnd"]
+                                         if use_split else None),
+                        fused_plan=parts["plan"],
+                        ext_nodes=parts["ext"],
+                    )
                 target = jnp.concatenate(
-                    [norm.output[f](tgt_b[f]) for f in spec.target_fields],
-                    -1)
-                m = upd_m.astype(jnp.float32)
+                    [norm.output[f](tb["tgt"][f])
+                     for f in spec.target_fields], -1)
+                m = parts["val_mask"]
                 return (jnp.sum(jnp.sum((out - target) ** 2, -1) * m),
                         jnp.sum(m))
 
-            vm_args = (
-                u, targets_raw, update_mask, node_mask, edge_mask,
-                mef, sq(batch["senders_global"]),
-                sq(batch["receivers_local"]), sq(batch["node_type_onehot"]),
-                sq(batch["halo_serve"]) if use_halo else jnp.zeros((bl,)),
-                sq(batch["senders_halo"]) if use_halo else jnp.zeros((bl,)),
-                sq(batch["row_offsets_int"]) if use_split
-                else jnp.zeros((bl,)),
-                sq(batch["row_offsets_bnd"]) if use_split
-                else jnp.zeros((bl,)),
-                sq(batch["fused_rel_s"]) if use_fused else jnp.zeros((bl,)),
-                sq(batch["fused_rel_r"]) if use_fused else jnp.zeros((bl,)),
-                sq(batch["fused_starts_s"]) if use_fused
-                else jnp.zeros((bl,)),
-                sq(batch["fused_starts_r"]) if use_fused
-                else jnp.zeros((bl,)),
-            )
+            vm_args = {k: sq(batch[k]) for k in batch
+                       if k not in ("fields", "times")}
+            vm_args["u"] = u
+            vm_args["tgt"] = targets_raw
 
             def loss_fn(params):
                 # lax.map keeps ONE copy of the forward in the HLO regardless
@@ -455,6 +524,7 @@ def make_spmd_solver_step(
     norm_steps: int = 0,
     boundary_start: Optional[int] = None,
     fused_static: Optional[Tuple[int, int, int, int]] = None,
+    deep_static: Optional[Tuple[int, int, int, int]] = None,
 ) -> Callable:
     """Graph-parallel SolverTraining / MultipleShooting step (round-2 verdict
     missing item 4: graph-parallel training was DerivativeTraining-only).
@@ -547,7 +617,7 @@ def make_spmd_solver_step(
 
         def per_traj_loss(params, tb):
             parts = shard_parts(tb, model_cfg, types_updated, types_inflow,
-                                boundary_start, fused_static)
+                                boundary_start, fused_static, deep_static)
             gt = jnp.concatenate([tb["gt"][f] for f in spec.target_fields],
                                  -1)  # (n_save, N_p, F)
             non_target = {f: tb["gt"][f][0] for f in spec.fields

@@ -808,10 +808,14 @@ def test_graph_planner_regrow_unit(tmp_path):
     _, model_cfg, spec = init_state(ds.meta, args, optax.sgd(1.0))
     nb, eb = _probe_buckets(ds, ds.meta, args)
     pl = _GraphPlanner(ds, args, model_cfg, nb, eb)
-    halo0 = pl.halo_size
+    def caps():
+        return ((pl.d_halo, pl.d_ebucket, pl.d_next) if pl.deep_rounds
+                else (pl.halo_size,))
+
+    cap0 = caps()
     pt5, _ = pl.get(4)
     assert pl.generation == 1, "big trajectory did not trigger a regrow"
-    assert pl.halo_size > halo0
+    assert caps() > cap0, (caps(), cap0)
     # compiled-artifact cache rebuilds exactly once per generation
     calls = []
     fn = pl.compiled("k", lambda: calls.append(1) or "a")
@@ -821,5 +825,150 @@ def test_graph_planner_regrow_unit(tmp_path):
     assert pl.compiled("k", lambda: calls.append(1) or "c") == "c"
     # replanning trajectory 1 under the grown capacities matches shapes
     pt1, _ = pl.get(0)
-    assert pt1.halo_size == pt5.halo_size
     assert pt1.senders_global.shape == pt5.senders_global.shape
+    if pl.deep_rounds:
+        assert pt1.deep.n_ext == pt5.deep.n_ext
+        assert pt1.deep.senders.shape == pt5.deep.senders.shape
+        assert pt1.deep.serve.shape == pt5.deep.serve.shape
+    else:
+        assert pt1.halo_size == pt5.halo_size
+
+
+def _deep_setup(mps=4):
+    from mgn_tpu.core.graph import build_template
+
+    pos, cells, nt = make_channel_mesh(400, seed=1)
+    s, r = cells_to_edges(cells)
+    n = len(pos)
+    rng = np.random.default_rng(0)
+    nf_real = rng.normal(size=(n, 9)).astype(np.float32)
+    pt = partition_template(pos, nt, s, r, 4, spatial_order=True)
+    t = build_template(pos, nt, cells=cells, node_bucket=512, edge_bucket=4096)
+    nfp_full = np.zeros((512, 9), np.float32)
+    nfp_full[:n] = nf_real
+    return pos, cells, nt, s, r, n, nf_real, nfp_full, pt, t
+
+
+@pytest.mark.parametrize("fused,k", [(False, 4), (False, 2), (False, 1),
+                                     (True, 4), (True, 2)])
+def test_deep_halo_forward_matches_single_device(fused, k):
+    """k-deep ghost-zone forward (one exchange per k rounds, segments run
+    locally over the extended tables) == the single-device forward — the
+    ghost-zone exactness argument incl. the depth=2k-1 multi-segment rule
+    for locally-carried edge latents (partition.DeepHaloPlan)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mgn_tpu.ops.fused import FusedPlan
+    from mgn_tpu.parallel.halo import apply_mgn_sharded_deep
+    from mgn_tpu.parallel.partition import add_deep_halo_plan
+
+    mps = 4
+    pos, cells, nt, s, r, n, nf_real, nfp_full, pt, t = _deep_setup(mps)
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1,
+                    message_passing_steps=mps, aggregation_backend="xla",
+                    fused=fused)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    cfg_ref = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                        latent_size=16, hidden_layers=1,
+                        message_passing_steps=mps, aggregation_backend="xla")
+    g = MeshGraph(node_features=jnp.asarray(nfp_full),
+                  edge_features=t.mesh_edge_features,
+                  senders=t.senders, receivers=t.receivers,
+                  node_mask=t.node_mask, edge_mask=t.edge_mask)
+    ref = np.asarray(apply_mgn(params, g, cfg_ref))[:n]
+
+    gids = _global_ids(pt, n)
+    nfp = np.zeros((pt.num_parts * pt.part_nodes, 9), np.float32)
+    nfp[gids] = nf_real
+    nfp = nfp.reshape(pt.num_parts, pt.part_nodes, 9)
+    dp = add_deep_halo_plan(pt, pos, s, r, k, mps, build_fused=fused)
+    has_plan = fused and dp.frel_s is not None
+    assert has_plan == fused, "fused banding unexpectedly failed"
+    mesh = make_device_mesh(1, 4)
+
+    def f(nf_s, src, own, serve, snd, rcv, em, rows, frs, frr, fss, fsr, mef):
+        plan = None
+        if has_plan:
+            plan = FusedPlan(rel_s=frs[0], rel_r=frr[0], starts_s=fss[0],
+                             starts_r=fsr[0], band_s=dp.band_s,
+                             band_r=dp.band_r, chunk=dp.chunk)
+        out = apply_mgn_sharded_deep(
+            params, nf_s[0], mef[0], cfg, "graph", src[0], own[0], serve[0],
+            snd[0], rcv[0], em[0], rows[0], k, fused_plan=plan)
+        return out[None]
+
+    z = np.zeros((4, 1), np.float32)
+    args = [jnp.asarray(x) for x in (
+        nfp, dp.src, dp.own_pos, dp.serve, dp.senders, dp.receivers,
+        dp.edge_mask, dp.rows,
+        dp.frel_s if has_plan else z, dp.frel_r if has_plan else z,
+        dp.fstarts_s if has_plan else z, dp.fstarts_r if has_plan else z,
+        dp.mef)]
+    from jax.sharding import PartitionSpec as P
+    fn = shard_map(f, mesh=mesh, in_specs=(P("graph"),) * 13,
+                   out_specs=P("graph"), check_vma=False)
+    out = np.asarray(fn(*args)).reshape(-1, 2)
+    err = np.abs(out[gids] - ref).max()
+    assert err < 5e-3, err
+
+
+def test_deep_halo_comm_volume():
+    """Comm accounting of the k-deep plan (the recorded delta of round-3
+    verdict item 2): exchange ROUNDS per forward drop mps -> mps/k — the
+    cost that actually dominated the per-round path (launch + latency + glue
+    per round, SPMD_r03.json bisection) — while total exchange BYTES stay
+    comparable: a depth-D halo is ~D one-rings, so the single-segment
+    schedule (k=mps, depth=k) moves about the same bytes in one shot and the
+    multi-segment schedule (depth=2k-1) about twice, never k-fold more."""
+    from mgn_tpu.parallel.partition import add_deep_halo_plan, add_halo_plan
+
+    pos, cells, nt = make_channel_mesh(20000, seed=3)
+    s, r = cells_to_edges(cells)
+    pt = partition_template(pos, nt, s, r, 4, spatial_order=True)
+    mps, latent = 15, 128
+
+    per_round = add_halo_plan(pt)
+    # bytes/forward = exchanges * P * P * H * latent * 2 (bf16)
+    def bytes_fwd(h, n_exchanges):
+        return n_exchanges * 4 * 4 * h * latent * 2
+
+    classic = bytes_fwd(per_round.halo_size, mps)
+    for k, max_bytes_ratio in ((15, 1.5), (5, 3.0), (3, 3.0)):
+        dp = add_deep_halo_plan(pt, pos, s, r, k, mps, build_fused=False)
+        n_ex = mps // k
+        deep = bytes_fwd(dp.halo_size, n_ex)
+        assert n_ex == mps // k and n_ex < mps  # rounds collapse
+        assert deep < classic * max_bytes_ratio, (
+            k, deep / classic, per_round.halo_size, dp.halo_size)
+        # redundant ghost compute stays a modest fraction at real mesh sizes
+        assert dp.n_ext < 2.0 * pt.part_nodes, (k, dp.n_ext, pt.part_nodes)
+
+
+def test_train_network_graph_parallel_deep_vs_classic(tmp_path):
+    """train_network under graph parallelism: the k-deep default path and the
+    classic per-round path (halo_rounds=0) train to the SAME final params
+    from the same seed (the deep forward is numerically the same model)."""
+    import optax
+
+    from mgn_tpu import train_network
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=96, tl=8, n_train=2, n_valid=1,
+                            n_test=1)
+    outs = {}
+    for name, hr in (("deep", None), ("classic", 0)):
+        state, best = train_network(
+            0.0, optax.adam(1e-3), d, str(tmp_path / f"cp_{name}"),
+            mps=2, layer_size=16, hidden_layers=1, norm_steps=2, steps=6,
+            checkpoint=4, graph_parallel=4, solver_valid="euler", seed=0,
+            halo_rounds=hr)
+        assert int(state.step) == 6
+        assert np.isfinite(best)
+        outs[name] = state
+    a = jax.tree.leaves(outs["deep"].params)
+    b = jax.tree.leaves(outs["classic"].params)
+    for x, y in zip(a, b):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=2e-4), \
+            np.abs(np.asarray(x) - np.asarray(y)).max()
