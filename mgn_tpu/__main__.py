@@ -45,6 +45,10 @@ def main(argv=None):
                    help="shard each mesh over this many devices (power of "
                         "two); the SPMD step uses the boundary-halo exchange "
                         "with comm/compute overlap")
+    t.add_argument("--halo-rounds", type=int, default=None,
+                   help="processor rounds per halo exchange under graph "
+                        "parallelism (k-deep ghost zones; default mps = one "
+                        "exchange per forward, 0 = classic per-round)")
     t.add_argument("--strategy", default="derivative",
                    choices=["derivative", "solver", "shooting"])
     t.add_argument("--tstart", type=float, default=0.0)
@@ -64,6 +68,8 @@ def main(argv=None):
     e.add_argument("--graph-parallel", type=int, default=1,
                    help="partition each mesh over this many devices and "
                         "roll out sharded (parallel/rollout.py)")
+    e.add_argument("--halo-rounds", type=int, default=None,
+                   help="processor rounds per halo exchange (see train)")
     _add_common(e)
 
     x = sub.add_parser("export")
@@ -176,12 +182,14 @@ def main(argv=None):
                       steps=args.steps, checkpoint=args.checkpoint,
                       norm_steps=args.norm_steps, batchsize=args.batchsize,
                       graph_parallel=args.graph_parallel,
+                      halo_rounds=args.halo_rounds,
                       metrics=log, **common)
     else:
         eval_network(args.ds_path, args.cp_path, args.out_path,
                      solver=args.solver, dt=args.solver_dt,
                      num_rollouts=args.num_rollouts,
                      graph_parallel=args.graph_parallel,
+                     halo_rounds=args.halo_rounds,
                      mse_steps=tuple(args.mse_steps), metrics=log, **common)
 
 
