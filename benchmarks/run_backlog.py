@@ -77,8 +77,17 @@ def read_queue():
                     saw_end = True
                     break  # nothing after END runs
                 parts = line.split("\t", 2)
-                if len(parts) == 3:
-                    steps.append((parts[0], int(parts[1]), parts[2]))
+                if len(parts) != 3:
+                    print(f"queue: skipping malformed line {line!r}",
+                          flush=True)
+                    continue
+                try:
+                    tmo = int(parts[1])
+                except ValueError:
+                    print(f"queue: bad timeout in {line!r}; skipping",
+                          flush=True)
+                    continue
+                steps.append((parts[0], tmo, parts[2]))
     return steps, saw_end
 
 
@@ -100,11 +109,22 @@ def run_step(name: str, timeout_s: int, cmd: str) -> None:
         print(f"{time.strftime('%H:%M:%S')} {name} attempt {attempt} -> {log}",
               flush=True)
         with open(log, "w") as fh:
-            try:
-                rc = subprocess.run(cmd, shell=True, cwd=REPO, stdout=fh,
+            # own session/process group so a timeout kills the WHOLE tree
+            # (shell=True + plain kill would orphan the jax-importing
+            # grandchild, and a second jax process deadlocks on import)
+            proc = subprocess.Popen(cmd, shell=True, cwd=REPO, stdout=fh,
                                     stderr=subprocess.STDOUT,
-                                    timeout=timeout_s).returncode
+                                    start_new_session=True)
+            try:
+                rc = proc.wait(timeout=timeout_s)
             except subprocess.TimeoutExpired:
+                import signal
+
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)  # exact pgid we made
+                except ProcessLookupError:
+                    pass
+                proc.wait()
                 rc = -1
         print(f"{time.strftime('%H:%M:%S')} {name} rc={rc}", flush=True)
         if rc == 0:

@@ -229,7 +229,11 @@ def main():
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)
     rnd = os.environ.get("MGN_BENCH_ROUND", "r03")
-    path = os.path.join(out_dir, f"SCALING_{rnd}.json")
+    # the virtual-mesh run is the canonical roofline artifact (P>1 records
+    # need >1 device); a single-chip TPU run keeps its own file so the two
+    # never clobber each other
+    suffix = rnd if backend == "cpu" else f"{backend}_{rnd}"
+    path = os.path.join(out_dir, f"SCALING_{suffix}.json")
     with open(path, "w") as fh:
         json.dump({"summary": summary, "records": results,
                    "roofline": roofline | {"predictions": preds}}, fh,

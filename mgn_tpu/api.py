@@ -409,22 +409,36 @@ class _GraphPlanner:
         return tr, pt, (tr.mesh_pos, s, r)
 
     def _fit_deep(self, parts_aux):
-        """Max-merge deep ghost-zone capacities from unforced plans (probe
-        fitting and regrowing share this)."""
+        """Max-merge deep ghost-zone capacities from these partitions (probe
+        fitting and regrowing share this).  Two passes: capacities from
+        unforced plans, then fused bands fitted UNDER the merged forced
+        capacities — the exact static shapes later planning will use (band
+        windows are capacity-independent since the dead-edge-target fix,
+        but fitting under the real shapes keeps that true by construction)."""
         for pt, (pos, s, r) in parts_aux:
             dp = self._add_deep_halo_plan(
                 pt, pos, s, r, self.deep_rounds, self.mps,
-                chunk=self.bucket_m, build_fused=self.try_deep_fused)
+                chunk=self.bucket_m, build_fused=False)
             self.d_halo = max(self.d_halo, dp.halo_size)
             self.d_ebucket = max(self.d_ebucket, dp.senders.shape[1])
             self.d_next = max(self.d_next, dp.n_ext)
-            if self.try_deep_fused:
-                if dp.frel_s is None:
-                    self.try_deep_fused = False
-                    self.d_band_s = self.d_band_r = None
-                else:
-                    self.d_band_s = max(self.d_band_s or 0, dp.band_s)
-                    self.d_band_r = max(self.d_band_r or 0, dp.band_r)
+        if not self.try_deep_fused:
+            return
+        for pt, (pos, s, r) in parts_aux:
+            try:
+                dp = self._add_deep_halo_plan(
+                    pt, pos, s, r, self.deep_rounds, self.mps,
+                    chunk=self.bucket_m, force_halo_size=self.d_halo,
+                    force_edge_bucket=self.d_ebucket,
+                    force_n_ext=self.d_next, build_fused=True)
+            except ValueError:
+                dp = None
+            if dp is None or dp.frel_s is None:
+                self.try_deep_fused = False
+                self.d_band_s = self.d_band_r = None
+                return
+            self.d_band_s = max(self.d_band_s or 0, dp.band_s)
+            self.d_band_r = max(self.d_band_r or 0, dp.band_r)
 
     def _plan_part(self, pt, aux):
         if self.deep_rounds:
@@ -473,7 +487,16 @@ class _GraphPlanner:
         stale cached plans, and bump ``generation`` so every graph-parallel
         loop rebuilds its compiled step (round-3 verdict weak item 2)."""
         if self.deep_rounds:
+            before = (self.d_halo, self.d_ebucket, self.d_next,
+                      self.d_band_s, self.d_band_r, self.try_deep_fused)
             self._fit_deep([(pt, aux)])
+            if (self.d_halo, self.d_ebucket, self.d_next, self.d_band_s,
+                    self.d_band_r, self.try_deep_fused) == before:
+                # no capacity grew yet planning failed: the fused bands are
+                # irreparable under forcing — drop to the XLA deep path so
+                # get()'s retry loop terminates instead of spinning
+                self.try_deep_fused = False
+                self.d_band_s = self.d_band_r = None
             self._invalidate()
             return
         unforced = self._add_halo_plan(pt, boundary_multiple=self.bucket_m)
@@ -569,12 +592,21 @@ class _GraphPlanner:
         key = ("trb",) + tuple(i % n for i in indices)
 
         def build():
-            pts, fls, tms = [], [], []
-            for i in indices:
-                pt, tr = self.get(i)
-                pts.append(pt)
-                fls.append({f: tr.fields[f] for f in spec.fields})
-                tms.append(tr.times)
+            # re-collect until no trajectory in the group triggered a
+            # capacity regrow mid-collection: templates fetched before the
+            # regrow carry the old generation's smaller static shapes and
+            # batch_from_partitioned would crash on the mixed batch
+            # (round-4 review finding 2)
+            while True:
+                gen0 = self.generation
+                pts, fls, tms = [], [], []
+                for i in indices:
+                    pt, tr = self.get(i)
+                    pts.append(pt)
+                    fls.append({f: tr.fields[f] for f in spec.fields})
+                    tms.append(tr.times)
+                if self.generation == gen0:
+                    break
             batch, _, _ = batch_from_partitioned(pts, fls, tms)
             tree = device_put_batch(mesh, batch.tree())
             return tree, [len(t) - 1 for t in tms]

@@ -590,6 +590,14 @@ def add_deep_halo_plan(
         m = len(eid)
         s_ext[p, :m] = np.searchsorted(g, gid[senders[eid]]).astype(np.int32)
         r_ext[p, :m] = rl.astype(np.int32)
+        # dead (padded) edges point at the FIRST pad row (k = this part's
+        # real ext count), not n_ext-1: the fused kernel does not mask dead
+        # messages (it relies on them landing in a pad row), and k is
+        # independent of the FORCED n_ext capacity — with n_ext-1 targets a
+        # capacity regrow widened every trajectory's band windows and
+        # forced-band planning could fail unrecoverably (round-4 review)
+        s_ext[p, m:] = k
+        r_ext[p, m:] = k
         emask[p, :m] = True
         mef[p, :m] = mef_all[eid]
         rows[p, : n_ext] = csr_row_offsets(rl, n_ext - 1)

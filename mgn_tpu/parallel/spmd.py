@@ -349,7 +349,6 @@ def make_spmd_derivative_step(
         node_mask = sq(batch["node_mask"])  # (Bl, N_p)
         node_type = sq(batch["node_type"])
         edge_mask = sq(batch["edge_mask"])
-        update_mask = type_mask(node_type, types_updated) & node_mask
         noisy_mask = type_mask(node_type, types_noisy) & node_mask
         stacks = {f: sq(batch["fields"][f]) for f in spec.fields}  # (Bl,T,N_p,d)
         times = batch["times"]  # (Bl, T)

@@ -972,3 +972,51 @@ def test_train_network_graph_parallel_deep_vs_classic(tmp_path):
     for x, y in zip(a, b):
         assert np.allclose(np.asarray(x), np.asarray(y), atol=2e-4), \
             np.abs(np.asarray(x) - np.asarray(y)).max()
+
+
+def test_graph_planner_deep_fused_heterogeneous(tmp_path):
+    """Regression (round-4 review finding 1): with FUSED deep plans, a mix of
+    trajectory sizes must plan under the forced (max-merged) capacities
+    without hanging, crashing, or silently disabling the fused path — dead
+    edges target the first pad row, so band windows are independent of the
+    forced n_ext/e_ext.  Covers both orders: big mesh inside the probe set,
+    and big mesh first seen after probing (regrow), plus a mixed
+    train_batch group (finding 2: mid-batch regrow must re-collect)."""
+    import optax
+
+    from mgn_tpu.api import _GraphPlanner, _probe_buckets, init_state
+    from mgn_tpu.config import Args
+    from mgn_tpu.data.pipeline import load_dataset
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    # (a) both sizes inside the probe window: __init__ must fit and keep fused
+    d1 = str(tmp_path / "ds1")
+    write_synthetic_dataset(d1, num_nodes=400, tl=6, n_train=4, n_valid=1,
+                            n_test=1, num_nodes_per_traj=[400, 1600])
+    args = Args(graph_parallel=4, mps=4, layer_size=16, hidden_layers=1,
+                fused=True, fused_backward=False,
+                spatial_reorder=True).resolve_auto()
+    ds1 = load_dataset(d1, is_training=True)
+    _, cfg1, spec = init_state(ds1.meta, args, optax.sgd(1.0))
+    pl1 = _GraphPlanner(ds1, args, cfg1, *_probe_buckets(ds1, ds1.meta, args))
+    assert pl1.try_deep_fused, "fused deep plans failed at probe time"
+    a, _ = pl1.get(0)
+    b, _ = pl1.get(1)
+    assert a.deep.frel_s is not None and b.deep.frel_s is not None
+    assert a.deep.senders.shape == b.deep.senders.shape
+
+    # (b) big mesh AFTER the probe window: regrow keeps fused and train_batch
+    # with a mixed group re-collects instead of crashing on mixed shapes
+    d2 = str(tmp_path / "ds2")
+    write_synthetic_dataset(d2, num_nodes=400, tl=6, n_train=5, n_valid=1,
+                            n_test=1,
+                            num_nodes_per_traj=[400, 400, 400, 400, 1600])
+    ds2 = load_dataset(d2, is_training=True)
+    _, cfg2, spec2 = init_state(ds2.meta, args, optax.sgd(1.0))
+    pl2 = _GraphPlanner(ds2, args, cfg2, *_probe_buckets(ds2, ds2.meta, args))
+    assert pl2.try_deep_fused
+    mesh = make_device_mesh(1, 4)
+    tree, n_frames = pl2.train_batch([0, 4], spec2, mesh)
+    assert pl2.generation >= 1, "big trajectory did not regrow"
+    assert pl2.try_deep_fused, "regrow disabled the fused deep path"
+    assert tree["deep_senders"].shape[0] == 2  # both trajectories, one shape
