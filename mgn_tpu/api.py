@@ -313,6 +313,7 @@ class _GraphPlanner:
 
         self.dataset = dataset
         self.P = args.graph_parallel
+        self.model_cfg = model_cfg
         self.try_fused = bool(model_cfg.fused)
         # k-deep ghost zones (Args.halo_rounds, 0 = classic per-round halo):
         # one exchange per k rounds, segments run in single fused-kernel
@@ -423,6 +424,18 @@ class _GraphPlanner:
             self.d_ebucket = max(self.d_ebucket, dp.senders.shape[1])
             self.d_next = max(self.d_next, dp.n_ext)
         if not self.try_deep_fused:
+            return
+        # same VMEM-fit gate as the single-device fused path: oversized
+        # extended tables drop to the XLA deep forward instead of dying in
+        # a Mosaic scoped-vmem OOM at step time
+        from mgn_tpu.models.mgn import _fused_fits_vmem
+
+        mc = self.model_cfg
+        if not _fused_fits_vmem(self.d_next, self.d_ebucket, mc.latent_size,
+                                mc.compute_dtype, bool(mc.fused_backward),
+                                mc.hidden_layers):
+            self.try_deep_fused = False
+            self.d_band_s = self.d_band_r = None
             return
         for pt, (pos, s, r) in parts_aux:
             try:
