@@ -35,7 +35,7 @@ DS = os.path.join(WORK, "ds")
 CP = os.path.join(WORK, "cp")
 OUT = os.path.join(WORK, "out")
 TRAIN_LOG = os.path.join(WORK, "train_metrics.jsonl")
-RESULT = os.path.join(HERE, "results", "ACCURACY_r04.json")
+RESULT = None  # set in main() from RESULT_NAME (defined below)
 
 def _env(name, default):
     return int(os.environ.get(name, default))
@@ -53,6 +53,11 @@ STEPS = _env("MGN_ACCURACY_STEPS", 200_000)
 SPEED = float(os.environ.get("MGN_ACCURACY_SPEED", 0.83))
 CHECKPOINT_EVERY = _env("MGN_ACCURACY_CKPT", 10_000)
 MSE_STEPS = tuple(s for s in (50, 100, 300, 599) if s < TL)
+# "derivative" (default) or "shooting": the NeuralODE MultipleShooting
+# convergence run (backprop through the solver, windows from ground-truth
+# initial conditions — /root/reference/src/strategies.jl:312-383 semantics)
+STRATEGY = os.environ.get("MGN_ACCURACY_STRATEGY", "derivative")
+RESULT_NAME = os.environ.get("MGN_ACCURACY_RESULT", "ACCURACY_r04.json")
 
 HYPERS = dict(
     mps=15, layer_size=128, hidden_layers=2,
@@ -124,19 +129,31 @@ def parse_train_log():
 
 
 def main():
+    global RESULT
+    RESULT = os.path.join(HERE, "results", RESULT_NAME)
     ensure_dataset()
     os.makedirs(os.path.dirname(RESULT), exist_ok=True)
 
     import optax
 
-    from mgn_tpu import DerivativeTraining, eval_network, train_network
+    from mgn_tpu import (DerivativeTraining, MultipleShooting, eval_network,
+                         train_network)
     from mgn_tpu.utils.metrics import MetricsLogger
+
+    if STRATEGY == "shooting":
+        strategy = MultipleShooting(
+            tstart=0.0, dt=DT, tstop=(TL - 1) * DT,
+            interval_size=_env("MGN_ACCURACY_INTERVAL", 25))
+        noise = 0.0  # solver strategies are noise-free (reference parity)
+    else:
+        strategy = DerivativeTraining()
+        noise = 0.02
 
     log = MetricsLogger(path=TRAIN_LOG)
     t0 = time.time()
     state, min_valid = train_network(
-        0.02, optax.adam(1e-4), DS, CP, metrics=log,
-        training_strategy=DerivativeTraining(),
+        noise, optax.adam(1e-4), DS, CP, metrics=log,
+        training_strategy=strategy,
         steps=STEPS, checkpoint=CHECKPOINT_EVERY, num_rollouts=N_TEST,
         **HYPERS)
     train_wall = time.time() - t0
@@ -177,7 +194,7 @@ def main():
                      f"advection wave (fixed speed {SPEED}), tl=600, dt=0.01, "
                      f"{N_TRAIN} train / {N_VALID} valid / {N_TEST} test"),
         "config": dict(HYPERS, steps=STEPS, checkpoint=CHECKPOINT_EVERY,
-                       noise=0.02, lr=1e-4, strategy="DerivativeTraining"),
+                       noise=noise, lr=1e-4, strategy=STRATEGY),
         "train": {
             "final_step": final_step,
             "min_valid_loss": float(min_valid),

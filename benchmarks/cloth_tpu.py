@@ -56,15 +56,21 @@ def main():
     spec = FieldSpec.from_meta(ds.meta)
     opt = optax.adam(1e-4)
 
-    def timed(fn, reps=4):
-        # state-chained dispatches + a final device_get: see spmd_tpu.timed
+    def timed(fn, reps=3, samples=4):
+        # state-chained dispatches + a final device_get, min over samples —
+        # the FULL trusted-tunnel methodology (spmd_tpu.timed).  The r03 run
+        # used a single sample and recorded a tunnel-flap-polluted 3.9 s/step
+        # for the unfused path (benchmarks/results/CLOTH_r03.json).
         jax.device_get(fn())
-        t0 = time.perf_counter()
-        last = None
-        for _ in range(reps):
-            last = fn()
-        jax.device_get(last)
-        return (time.perf_counter() - t0) / reps
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(reps):
+                last = fn()
+            jax.device_get(last)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
 
     dtype = "bfloat16" if on_tpu else "float32"
     cases = [("unfused", dict())]
