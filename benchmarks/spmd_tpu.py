@@ -203,14 +203,21 @@ def main():
 
         pt_sp = partition_template(pos, node_type, s, r, 1,
                                    spatial_order=True)
-        for k in dict.fromkeys((MPS, 5 if MPS % 5 == 0 else MPS)):
+        deep_cases = [(MPS, 512), (MPS, 1024)]
+        if MPS % 5 == 0:
+            deep_cases.append((5, 512))
+        for k, ch in deep_cases:
+            name = f"deep_k{k}" + ("" if ch == 512 else f"_c{ch}")
             try:
-                dp = add_deep_halo_plan(pt_sp, pos, s, r, k, MPS)
+                dp = add_deep_halo_plan(pt_sp, pos, s, r, k, MPS, chunk=ch)
             except ValueError as ex:
-                spmd[f"deep_k{k}"] = {"error": str(ex)[:200]}
+                spmd[name] = {"error": str(ex)[:200]}
+                continue
+            if dp.frel_s is None:
+                spmd[name] = {"error": "no fused deep plan (bands)"}
                 continue
             ptd = _dc.replace(pt_sp, deep=dp)
-            cases.append((f"deep_k{k}", ptd,
+            cases.append((name, ptd,
                           MGNConfig(**base, fused=True, fused_backward=True),
                           None, None, deep_static_of(ptd)))
     for name, pt, cfg, bs_, fs_, ds_ in cases:
