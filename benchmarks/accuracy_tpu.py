@@ -134,6 +134,11 @@ def main():
     ensure_dataset()
     os.makedirs(os.path.dirname(RESULT), exist_ok=True)
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import optax
 
     from mgn_tpu import (DerivativeTraining, MultipleShooting, eval_network,
