@@ -78,6 +78,11 @@ def main():
         "f32": (jnp.float32, jnp.float32),
         "int8_mixed": (jnp.int8, jnp.bfloat16),
         "fp8_mixed": (jnp.float8_e4m3fn, jnp.bfloat16),
+        # the kernel's per-site operand realities (round-4 follow-up):
+        # preproject gather = oh x f32 band; scatter = oh x bf16 msg
+        "f32oh_bf16val": (jnp.float32, jnp.bfloat16),
+        "fp8oh_f32val": (jnp.float8_e4m3fn, jnp.float32),
+        "bf16oh_f32val": (jnp.bfloat16, jnp.float32),
         "int8_int8": (jnp.int8, jnp.int8),
     }
     ref_out = None

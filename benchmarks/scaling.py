@@ -57,6 +57,9 @@ def main():
 
     results = []
     p_sizes = [p for p in (1, 2, 4, 8, 16, 32) if p <= n_dev]
+    if os.environ.get("MGN_SCALING_ROOFLINE_ONLY"):
+        p_sizes = []  # plan-based accounting + roofline only (big meshes:
+        #               CPU shard_map timings are meaningless and slow)
     base_eps = None
     for p_count in p_sizes:
         pt = partition_template(pos, node_type, s, r, max(p_count, 1))
@@ -153,9 +156,9 @@ def main():
                 "ms_per_step")
             pr_ms = sp.get("spmd_mesh11", {}).get("fused_rounds", {}).get(
                 "ms_per_step")
-            dk = next((v for k_, v in sp.get("spmd_mesh11", {}).items()
-                       if k_.startswith("deep_k") and "ms_per_step" in v),
-                      None)
+            dk = min((v for k_, v in sp.get("spmd_mesh11", {}).items()
+                      if k_.startswith("deep_k") and "ms_per_step" in v),
+                     key=lambda v: v["ms_per_step"], default=None)
             if base_ms and pr_ms:
                 glue = {"per_round": round(pr_ms / base_ms, 3),
                         "deep": (round(dk["ms_per_step"] / base_ms, 3)
