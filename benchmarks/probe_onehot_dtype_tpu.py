@@ -85,6 +85,13 @@ def main():
         "bf16oh_f32val": (jnp.bfloat16, jnp.float32),
         "int8_int8": (jnp.int8, jnp.int8),
     }
+    # Build + compile everything FIRST, then time variants INTERLEAVED over
+    # several passes taking per-variant minima: the shared/tunneled chip's
+    # throughput drifts between calls (measured 164 -> 1304 us on the SAME
+    # compiled f32 kernel across two sequential runs), so only interleaved
+    # sampling isolates the dtype effect from chip-state drift.
+    args = (jnp.asarray(rel)[None], jnp.asarray(band), jnp.asarray(msg))
+    calls, outs = {}, {}
     ref_out = None
     for name, (oh_dt, val_dt) in variants.items():
         try:
@@ -93,30 +100,32 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((BAND, LATENT), jnp.float32),
                 interpret=interpret,
             )
-            call = jax.jit(lambda r, b, m: fn(r, b, m))
-            args = (jnp.asarray(rel)[None], jnp.asarray(band),
-                    jnp.asarray(msg))
-            out = np.asarray(jax.device_get(call(*args)))  # compile+run
-            best = float("inf")
-            for _ in range(4):
-                t0 = time.perf_counter()
-                o = call(*args)
-                jax.device_get(o)
-                best = min(best, time.perf_counter() - t0)
-            per_pair = best / ROUNDS
-            flops = 2 * BAND * CHUNK * LATENT * 2  # gather + scatter
-            rec = {"us_per_round": round(per_pair * 1e6, 2),
-                   "tflops": round(flops / per_pair / 1e12, 2)}
+            call = jax.jit(lambda r, b, m, fn=fn: fn(r, b, m))
+            outs[name] = np.asarray(jax.device_get(call(*args)))
+            calls[name] = call
             if name == "bf16":
-                ref_out = out
-            elif ref_out is not None and val_dt != jnp.int8:
-                rec["max_abs_diff_vs_bf16"] = float(
-                    np.abs(out - ref_out).max())
-            results["variants"][name] = rec
-            print(name, rec, flush=True)
+                ref_out = outs[name]
         except Exception as ex:
             results["variants"][name] = {"error": str(ex)[:400]}
             print(name, "FAILED:", str(ex)[:200], flush=True)
+
+    best = {name: float("inf") for name in calls}
+    for _ in range(8):  # interleaved passes
+        for name, call in calls.items():
+            t0 = time.perf_counter()
+            jax.device_get(call(*args))
+            best[name] = min(best[name], time.perf_counter() - t0)
+    for name, b in best.items():
+        per_pair = b / ROUNDS
+        flops = 2 * BAND * CHUNK * LATENT * 2  # gather + scatter
+        rec = {"us_per_round": round(per_pair * 1e6, 2),
+               "tflops": round(flops / per_pair / 1e12, 2)}
+        if name != "bf16" and ref_out is not None \
+                and variants[name][1] != jnp.int8:
+            rec["max_abs_diff_vs_bf16"] = float(
+                np.abs(outs[name] - ref_out).max())
+        results["variants"][name] = rec
+        print(name, rec, flush=True)
 
     bl = results["variants"].get("bf16", {})
     if "us_per_round" in bl:
