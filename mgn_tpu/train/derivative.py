@@ -216,9 +216,14 @@ def make_batched_derivative_trainer(
         def loss_fn(params):
             def per_traj(template, u, target, update_mask):
                 graph = assemble_graph(norm, template, u, spec)
+                # fused_plan=None: a vmapped fused kernel batches its
+                # HBM-space operands, which the Pallas TPU lowering rejects
+                # (same structural limit fixed in train/solver.py's window
+                # loop).  Union batching (make_union_derivative_trainer) is
+                # the fused batched path; this vmap variant stays unfused.
                 out = apply_mgn(params, graph, cfg.model,
                                 row_offsets=template.row_offsets,
-                                fused_plan=template.fused_plan)
+                                fused_plan=None)
                 m = update_mask.astype(jnp.float32)
                 sq = jnp.sum(jnp.sum((out - target) ** 2, -1) * m)
                 return sq, jnp.sum(m)

@@ -170,7 +170,14 @@ def make_solver_trainer(
                 end_gap = jnp.sum(jnp.abs(pred[-1] - gt_w[-1]) * val_mask[:, None])
                 return mse, end_gap
 
-            mses, gaps = jax.vmap(window_loss)(starts, win_times)
+            # lax.map, NOT vmap: a vmapped window batches the fused Pallas
+            # kernel's HBM-space (ANY) operands, which the TPU lowering
+            # rejects ("memory space ANY only ... trivial index_map" —
+            # surfaced by the on-chip MultipleShooting convergence run,
+            # round 4); the graph-parallel solver step uses lax.map for the
+            # same structural reason
+            mses, gaps = jax.lax.map(lambda sw: window_loss(*sw),
+                                     (starts, win_times))
             # gaps[i] couples window i's end to window i+1's gt start (windows
             # overlap by one point, so gt_w[-1] IS the next window's start)
             return jnp.sum(mses) + strategy.continuity_term * jnp.sum(gaps[:-1])
