@@ -1020,3 +1020,76 @@ def test_graph_planner_deep_fused_heterogeneous(tmp_path):
     assert pl2.generation >= 1, "big trajectory did not regrow"
     assert pl2.try_deep_fused, "regrow disabled the fused deep path"
     assert tree["deep_senders"].shape[0] == 2  # both trajectories, one shape
+
+
+@pytest.mark.parametrize("strategy_kind", ["solver", "shooting"])
+def test_spmd_solver_step_deep_matches_single_device(strategy_kind):
+    """The k-deep ghost-zone schedule under the graph-parallel SOLVER step
+    (NeuralODE training) matches the single-device solver trainer — the
+    deriv inside the adjoint integrator takes the deep forward."""
+    import dataclasses as dc
+
+    from mgn_tpu.parallel.partition import add_deep_halo_plan
+    from mgn_tpu.parallel.spmd import (deep_static_of, device_put_batch,
+                                       make_spmd_solver_step)
+    from mgn_tpu.train.solver import SolverTrainerConfig, make_solver_trainer
+    from mgn_tpu.train.strategies import MultipleShooting, SolverTraining
+
+    pos, cells, nt = make_channel_mesh(96, seed=1)
+    s, r = cells_to_edges(cells)
+    spec = FieldSpec(fields=("velocity",), target_fields=("velocity",),
+                     field_dims=(2,), target_dims=(2,))
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1, message_passing_steps=2,
+                    aggregation_backend="xla")
+    if strategy_kind == "solver":
+        strategy = SolverTraining(dt=0.01, tstart=0.0, tstop=0.05,
+                                  solver="euler")
+    else:
+        strategy = MultipleShooting(dt=0.01, tstart=0.0, tstop=0.07,
+                                    interval_size=3, continuity_term=10.0,
+                                    solver="euler")
+    opt = optax.sgd(1e-2)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    tl = 10
+    vel = make_trajectory(pos, nt, tl=tl, dt=0.01, seed=3)
+    times = np.arange(tl, dtype=np.float32) * 0.01
+    n = len(pos)
+
+    def fresh_state():
+        return TrainState(
+            params=params, opt_state=opt.init(params),
+            norm=NormState(edge=N.Online.create(3),
+                           node={"velocity": N.Online.create(2),
+                                 "node_type": N.OfflineMinMax.create(0.0, 1.0)},
+                           output={"velocity": N.Online.create(2)}),
+            step=jnp.zeros((), jnp.int32))
+
+    t = build_template(pos, nt, cells=cells, node_bucket=128, edge_bucket=1024)
+    velp = np.zeros((tl, 128, 2), np.float32)
+    velp[:, :n] = vel
+    tcfg = SolverTrainerConfig(model=cfg, spec=spec, strategy=strategy,
+                               norm_steps=0)
+    trainer = jax.jit(make_solver_trainer(tcfg, opt))
+    st_ref, loss_ref = trainer(fresh_state(), t,
+                               {"velocity": jnp.asarray(velp)},
+                               jnp.asarray(times), jax.random.PRNGKey(0))
+
+    pt = partition_template(pos, nt, s, r, 4, part_node_bucket=64,
+                            part_edge_bucket=256, spatial_order=True)
+    dp = add_deep_halo_plan(pt, pos, s, r, cfg.message_passing_steps,
+                            cfg.message_passing_steps, build_fused=False)
+    ptd = dc.replace(pt, deep=dp)
+    mesh = make_device_mesh(1, 4)
+    batch, bs, _ = batch_from_partitioned([ptd], [{"velocity": vel}], [times])
+    tree = device_put_batch(mesh, batch.tree())
+    step = make_spmd_solver_step(mesh, cfg, spec, strategy, opt, norm_steps=0,
+                                 deep_static=deep_static_of(ptd))
+    st_sp, loss_sp = step(fresh_state(), tree, jax.random.PRNGKey(0))
+
+    assert np.isclose(float(loss_sp), float(loss_ref), rtol=1e-5), (
+        float(loss_sp), float(loss_ref))
+    for a, b in zip(jax.tree.leaves(st_ref.params),
+                    jax.tree.leaves(st_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
