@@ -195,8 +195,9 @@ def main():
         }
 
     result = {
-        "workload": ("synthetic cylinder-class channel, 1900 nodes, "
-                     f"advection wave (fixed speed {SPEED}), tl=600, dt=0.01, "
+        "workload": (f"synthetic cylinder-class channel, {NUM_NODES} nodes, "
+                     f"advection wave (fixed speed {SPEED}), tl={TL}, "
+                     f"dt={DT}, "
                      f"{N_TRAIN} train / {N_VALID} valid / {N_TEST} test"),
         "config": dict(HYPERS, steps=STEPS, checkpoint=CHECKPOINT_EVERY,
                        noise=noise, lr=1e-4, strategy=STRATEGY),
