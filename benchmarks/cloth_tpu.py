@@ -75,6 +75,11 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     cases = [("unfused", dict())]
     if on_tpu:
+        # the native backward variant fails remote-compile at flag 50x32
+        # (CLOTH_COMPILE2_probe.json bisect: multi_grad native-bwd fails,
+        # XLA-recompute bwd compiles) — measure the working fused fwd +
+        # XLA-backward combination as well
+        cases.append(("fused_xlabwd", dict(fused=True, fused_backward=False)))
         cases.append(("fused", dict(fused=True, fused_backward=True)))
     for name, over in cases:
         mcfg = cloth_model_config(
@@ -118,11 +123,13 @@ def main():
             results[name] = {"error": str(ex)[:400]}
             print(f"cloth {name}: FAILED {str(ex)[:200]}", flush=True)
 
-    if all("ms_per_step" in results.get(k, {}) for k in ("fused", "unfused")):
-        results["speedup_fused_vs_unfused"] = round(
-            results["unfused"]["ms_per_step"]
-            / results["fused"]["ms_per_step"], 2)
-        print("speedup:", results["speedup_fused_vs_unfused"], flush=True)
+    for fk in ("fused", "fused_xlabwd"):
+        if all("ms_per_step" in results.get(k, {}) for k in (fk, "unfused")):
+            results[f"speedup_{fk}_vs_unfused"] = round(
+                results["unfused"]["ms_per_step"]
+                / results[fk]["ms_per_step"], 2)
+            print(f"speedup {fk}:", results[f"speedup_{fk}_vs_unfused"],
+                  flush=True)
 
     out_dir = os.path.join(_HERE, "results")
     os.makedirs(out_dir, exist_ok=True)

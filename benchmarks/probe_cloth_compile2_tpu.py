@@ -163,5 +163,98 @@ def main():
     print("wrote", out, flush=True)
 
 
+def stage3():
+    """Extra controls appended after the first run isolated the failure to
+    multi_grad at 50x32 with the native backward: (a) the bare node_extra
+    kernel grad at the EXACT flag template/plan, (b) the multi grad with
+    fewer rounds (module-size vs shape), (c) intermediate mesh sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgn_tpu.data.pipeline import load_dataset
+    from mgn_tpu.data.prep import prepare_trajectory
+    from mgn_tpu.data.synthetic import write_flag_dataset
+    from mgn_tpu.models.mgn import MGNConfig, init_mgn
+    from mgn_tpu.models.mgn_multi import init_mgn_multi, apply_mgn_multi
+    from mgn_tpu.ops.fused import fused_process
+    from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                     cloth_model_config,
+                                     make_cloth_norm_state)
+    from mgn_tpu.train.common import FieldSpec
+
+    on_tpu = jax.default_backend() == "tpu"
+    dt_ = jnp.bfloat16 if on_tpu else jnp.float32
+
+    def setup(nx, ny):
+        ds_path = f"/tmp/mgn_flag_probe_{nx}x{ny}"
+        if not os.path.isfile(os.path.join(ds_path, "meta.json")):
+            write_flag_dataset(ds_path, nx=nx, ny=ny, tl=5, n_train=1,
+                               n_valid=1, n_test=1)
+        ds = load_dataset(ds_path, is_training=True)
+        spec = FieldSpec.from_meta(ds.meta)
+        prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec,
+                                  spatial_reorder=True)
+        return ds, spec, prep
+
+    # (a) bare node_extra kernel grad at the exact flag 50x32 template
+    ds, spec, prep = setup(50, 32)
+    t = prep.template
+    cfg1 = MGNConfig(node_input_dim=9, edge_input_dim=4, output_dim=3,
+                     latent_size=128, hidden_layers=2,
+                     message_passing_steps=1)
+    pp = init_mgn(jax.random.PRNGKey(0), cfg1)["processor"]
+    rng = np.random.default_rng(0)
+    v0 = jnp.asarray(rng.standard_normal((t.num_nodes, 128)), dt_)
+    e0 = jnp.asarray(rng.standard_normal((t.num_edges, 128)), dt_)
+    xtr = jnp.asarray(rng.standard_normal((t.num_nodes, 128)), jnp.float32)
+    ev = t.edge_mask.astype(dt_)[:, None]
+
+    def kloss(p, v, eo, x):
+        v2, e2 = fused_process(p, v, eo, t.fused_plan, t.senders,
+                               t.receivers, ev, 1, interpret=not on_tpu,
+                               kernel_bwd=True, return_edges=True,
+                               node_extra=x)
+        return (jnp.sum(v2.astype(jnp.float32) ** 2)
+                + jnp.sum(e2.astype(jnp.float32) ** 2))
+
+    attempt("kernel_xtr_flag50x32", lambda: jax.jit(
+        jax.grad(kloss, argnums=(0, 3))).lower(pp, v0, e0, xtr).compile())
+
+    # (b) multi grad at 50x32 with fewer rounds (same shapes)
+    def multi_grad(nx, ny, mps):
+        ds2, spec2, prep2 = setup(nx, ny)
+        cc = ClothConfig(
+            model=cloth_model_config(ds2.meta, latent=128, hidden_layers=2,
+                                     mps=mps, compute_dtype=dt_, fused=True,
+                                     fused_backward=True),
+            world_radius=0.05, world_capacity=2048, noise_stddev=0.003,
+            norm_steps=0)
+        p = init_mgn_multi(jax.random.PRNGKey(0), cc.model)
+        norm = make_cloth_norm_state(cc)
+        wp = np.asarray(prep2.fields["world_pos"])
+        cur = jnp.asarray(wp[1])
+        vel = jnp.asarray((wp[1] - wp[0]) / (prep2.times[1] - prep2.times[0]))
+        graph = build_cloth_graph(norm, prep2.template, cur, vel, cc)
+
+        def loss(p_):
+            out = apply_mgn_multi(p_, graph, cc.model,
+                                  fused_plan=prep2.template.fused_plan)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        jax.jit(jax.grad(loss)).lower(p).compile()
+
+    attempt("multi_grad_50x32_mps2", lambda: multi_grad(50, 32, 2))
+    attempt("multi_grad_32x20_mps15", lambda: multi_grad(32, 20, 15))
+    attempt("multi_grad_40x26_mps15", lambda: multi_grad(40, 26, 15))
+
+    out = os.path.join(_HERE, "results", "CLOTH_COMPILE3_probe.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MGN_CLOTH_STAGE3"):
+        stage3()
+    else:
+        main()
