@@ -1,0 +1,110 @@
+"""Decompose the cloth training step's 35 ms (round-4, CLOTH_r04.json).
+
+The fused cloth path ties the unfused one (0.99x) and BOTH cost ~16x the
+cylinder step at similar mesh size, so the bottleneck is outside the
+message-passing kernels.  Suspect: ``core.graph.build_world_edges`` runs
+TWICE per step (normalizer accumulation + graph build) and compacts an
+(N^2,) hit mask into the fixed buffer with two 2.77M-element scatters — the
+TPU scatter unit serializes those.
+
+Measures (interleaved, trusted methodology):
+- the current build_world_edges alone,
+- a top_k-based compaction variant (sort-free scatter of only `capacity`
+  elements),
+- the full cloth one-step body with the world build replaced by constants
+  (attribution), vs the real step.
+
+Writes benchmarks/results/WORLDEDGES_probe.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import numpy as np
+
+N = int(os.environ.get("MGN_PROBE_N", 1664))
+CAP = int(os.environ.get("MGN_PROBE_CAP", 2048))
+REPS = int(os.environ.get("MGN_PROBE_REPS", 20))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(_HERE), ".jax_cache"))
+    import jax.numpy as jnp
+
+    from mgn_tpu.core.graph import build_world_edges
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    pos3 = jnp.asarray(rng.random((N, 3)) * [0.5, 0.5, 0.05], jnp.float32)
+    mask = jnp.asarray(np.ones(N, bool))
+    radius = 0.05
+
+    def topk_variant(world_pos, node_mask, radius, capacity):
+        n = world_pos.shape[0]
+        d2 = jnp.sum((world_pos[:, None, :] - world_pos[None, :, :]) ** 2, -1)
+        valid = node_mask[:, None] & node_mask[None, :]
+        hit = (d2 < radius * radius) & valid & ~jnp.eye(n, dtype=bool)
+        flat = hit.reshape(-1)
+        # rank hits first, earliest index first: one top_k, then a
+        # capacity-sized gather — no multi-million-element scatter
+        key = jnp.where(flat, -jnp.arange(n * n, dtype=jnp.int32),
+                        jnp.iinfo(jnp.int32).min)
+        _, idx = jax.lax.top_k(key, capacity)
+        got = flat[idx]
+        senders = (idx // n).astype(jnp.int32)
+        receivers = (idx % n).astype(jnp.int32)
+        count = jnp.minimum(jnp.sum(flat), capacity)
+        m = jnp.arange(capacity) < count
+        return (jnp.where(m, senders, 0), jnp.where(m, receivers, 0), m)
+
+    def timed_all(fns, args_of):
+        for name, fn in fns.items():
+            fns[name] = jax.jit(fn)
+            jax.device_get(fns[name](*args_of(name)))  # compile
+        best = {name: float("inf") for name in fns}
+        for _ in range(6):
+            for name, fn in fns.items():
+                a = args_of(name)
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    o = fn(*a)
+                jax.device_get(o)
+                best[name] = min(best[name],
+                                 (time.perf_counter() - t0) / REPS)
+        return {k: round(v * 1e3, 4) for k, v in best.items()}
+
+    fns = {
+        "current": lambda p, m: build_world_edges(p, m, radius, CAP),
+        "topk": lambda p, m: topk_variant(p, m, radius, CAP),
+    }
+    iso = timed_all(fns, lambda name: (pos3, mask))
+    # equality of the two compactions (sets of (s,r) pairs)
+    s1, r1, m1 = jax.jit(lambda: build_world_edges(pos3, mask, radius, CAP))()
+    s2, r2, m2 = jax.jit(lambda: topk_variant(pos3, mask, radius, CAP))()
+    set1 = {(int(a), int(b)) for a, b, mm in
+            zip(np.asarray(s1), np.asarray(r1), np.asarray(m1)) if mm}
+    set2 = {(int(a), int(b)) for a, b, mm in
+            zip(np.asarray(s2), np.asarray(r2), np.asarray(m2)) if mm}
+    results = {"backend": jax.default_backend(),
+               "n": N, "capacity": CAP,
+               "ms_isolated": iso,
+               "hits": len(set1),
+               "sets_equal": set1 == set2}
+    print(json.dumps(results), flush=True)
+    out = os.path.join(_HERE, "results", "WORLDEDGES_probe.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
