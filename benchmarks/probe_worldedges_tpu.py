@@ -93,9 +93,91 @@ def main():
             zip(np.asarray(s1), np.asarray(r1), np.asarray(m1)) if mm}
     set2 = {(int(a), int(b)) for a, b, mm in
             zip(np.asarray(s2), np.asarray(r2), np.asarray(m2)) if mm}
+    # attribution at the real flag shapes: model fwd+bwd alone vs the full
+    # trainer step (difference = world builds + norm accumulation + glue)
+    attrib = {}
+    try:
+        import optax
+
+        from mgn_tpu.data.pipeline import load_dataset
+        from mgn_tpu.data.prep import prepare_trajectory
+        from mgn_tpu.data.synthetic import write_flag_dataset
+        from mgn_tpu.models.mgn_multi import (apply_mgn_multi,
+                                              init_mgn_multi)
+        from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                         cloth_model_config,
+                                         make_cloth_norm_state,
+                                         make_cloth_trainer)
+        from mgn_tpu.train.common import FieldSpec, TrainState
+
+        ds_path = "/tmp/mgn_flag_probe_50x32"
+        if not os.path.isfile(os.path.join(ds_path, "meta.json")):
+            write_flag_dataset(ds_path, nx=50, ny=32, tl=5, n_train=1,
+                               n_valid=1, n_test=1)
+        ds = load_dataset(ds_path, is_training=True)
+        spec = FieldSpec.from_meta(ds.meta)
+        prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec,
+                                  spatial_reorder=True)
+        dt_ = jnp.bfloat16 if on_tpu else jnp.float32
+        cc = ClothConfig(
+            model=cloth_model_config(ds.meta, latent=128, hidden_layers=2,
+                                     mps=15, compute_dtype=dt_, fused=True,
+                                     fused_backward=False),
+            world_radius=0.05, world_capacity=CAP, noise_stddev=0.003,
+            norm_steps=0)
+        params = init_mgn_multi(jax.random.PRNGKey(0), cc.model)
+        norm = make_cloth_norm_state(cc)
+        wp = np.asarray(prep.fields["world_pos"])
+        cur = jnp.asarray(wp[1])
+        vel = jnp.asarray((wp[1] - wp[0]) / (prep.times[1] - prep.times[0]))
+        graph = build_cloth_graph(norm, prep.template, cur, vel, cc)
+
+        def model_grad(p):
+            def loss(p_):
+                out = apply_mgn_multi(p_, graph, cc.model,
+                                      fused_plan=prep.template.fused_plan)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            return jax.grad(loss)(p)
+
+        opt = optax.adam(1e-4)
+        trainer = jax.jit(make_cloth_trainer(cc, opt))
+        st = TrainState(params=params, opt_state=opt.init(params),
+                        norm=norm, step=jnp.zeros((), jnp.int32))
+        perm1 = jnp.asarray([1], jnp.int32)
+
+        mg = jax.jit(model_grad)
+        jax.device_get(mg(params))
+        jax.device_get(trainer(st, prep.template,
+                               prep.fields["world_pos"], prep.times,
+                               perm1, jax.random.PRNGKey(0))[1])
+        bests = {"model_fwd_bwd": float("inf"), "full_step": float("inf")}
+        for _ in range(6):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                g = mg(params)
+            jax.device_get(g)
+            bests["model_fwd_bwd"] = min(bests["model_fwd_bwd"],
+                                         (time.perf_counter() - t0) / 4)
+            t0 = time.perf_counter()
+            s2_ = st
+            for _ in range(4):
+                s2_, losses = trainer(s2_, prep.template,
+                                      prep.fields["world_pos"], prep.times,
+                                      perm1, jax.random.PRNGKey(0))
+            jax.device_get(losses)
+            bests["full_step"] = min(bests["full_step"],
+                                     (time.perf_counter() - t0) / 4)
+        attrib = {k: round(v * 1e3, 3) for k, v in bests.items()}
+        attrib["non_model_ms"] = round(
+            (bests["full_step"] - bests["model_fwd_bwd"]) * 1e3, 3)
+    except Exception as ex:
+        attrib = {"error": str(ex)[:300]}
+
     results = {"backend": jax.default_backend(),
                "n": N, "capacity": CAP,
                "ms_isolated": iso,
+               "ms_attrib": attrib,
                "hits": len(set1),
                "sets_equal": set1 == set2}
     print(json.dumps(results), flush=True)
