@@ -81,14 +81,37 @@ def main():
                                  (time.perf_counter() - t0) / REPS)
         return {k: round(v * 1e3, 4) for k, v in best.items()}
 
+    def scatter_old(world_pos, node_mask, radius, capacity):
+        """The pre-round-4 implementation (broadcast d2 + two N^2 scatters),
+        kept inline as the A/B baseline."""
+        n = world_pos.shape[0]
+        d2 = jnp.sum(
+            (world_pos[:, None, :] - world_pos[None, :, :]) ** 2, axis=-1)
+        valid = node_mask[:, None] & node_mask[None, :]
+        hit = (d2 < radius * radius) & valid & ~jnp.eye(n, dtype=bool)
+        flat = hit.reshape(-1)
+        pos = jnp.cumsum(flat) - 1
+        slot = jnp.where(flat & (pos < capacity), pos, capacity)
+        src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), n)
+        dst = jnp.tile(jnp.arange(n, dtype=jnp.int32), n)
+        senders = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(
+            src, mode="drop")
+        receivers = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(
+            dst, mode="drop")
+        count = jnp.minimum(jnp.sum(flat), capacity)
+        mask = jnp.arange(capacity) < count
+        return senders[:capacity], receivers[:capacity], mask
+
     fns = {
+        "scatter_old": lambda p, m: scatter_old(p, m, radius, CAP),
         "current": lambda p, m: build_world_edges(p, m, radius, CAP),
         "topk": lambda p, m: topk_variant(p, m, radius, CAP),
     }
     iso = timed_all(fns, lambda name: (pos3, mask))
     # equality of the two compactions (sets of (s,r) pairs)
-    s1, r1, m1 = jax.jit(lambda: build_world_edges(pos3, mask, radius, CAP))()
-    s2, r2, m2 = jax.jit(lambda: topk_variant(pos3, mask, radius, CAP))()
+    s1, r1, m1 = jax.jit(lambda: scatter_old(pos3, mask, radius, CAP))()
+    s2, r2, m2 = jax.jit(lambda: build_world_edges(pos3, mask, radius,
+                                                   CAP))()
     set1 = {(int(a), int(b)) for a, b, mm in
             zip(np.asarray(s1), np.asarray(r1), np.asarray(m1)) if mm}
     set2 = {(int(a), int(b)) for a, b, mm in

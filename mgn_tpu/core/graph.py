@@ -339,24 +339,32 @@ def build_world_edges(
     cumsum-based scatter so shapes stay static.
 
     Returns (senders, receivers, mask) each of shape (capacity,).
+
+    Round-4 rewrite (same outputs, measured 27.8 -> ~5 ms at 1664 nodes /
+    capacity 2048, WORLDEDGES_probe.json): the pairwise distances come from
+    one MXU Gram matmul (|a|^2 + |b|^2 - 2 a.b) instead of materializing the
+    (N, N, 3) broadcast, and the hit compaction is one ``top_k`` over the
+    flat hit keys plus a capacity-sized gather instead of two N^2-element
+    scatters (the TPU scatter unit serializes multi-million-update
+    scatters — this dominated the whole cloth training step).
     """
     n = world_pos.shape[0]
-    d2 = jnp.sum(
-        (world_pos[:, None, :] - world_pos[None, :, :]) ** 2, axis=-1
-    )  # (N, N)
+    wp = world_pos.astype(jnp.float32)
+    sq = jnp.sum(wp * wp, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (wp @ wp.T)  # (N, N) via MXU
     valid = node_mask[:, None] & node_mask[None, :]
     hit = (d2 < radius * radius) & valid & ~jnp.eye(n, dtype=bool)
     if exclude_senders is not None:
         # mask out existing mesh edges (senders/receivers index pairs)
         hit = hit.at[exclude_senders, exclude_receivers].set(False)
     flat = hit.reshape(-1)
-    # stable compaction of hit indices into the fixed-capacity buffer
-    pos = jnp.cumsum(flat) - 1  # position for each hit
-    slot = jnp.where(flat & (pos < capacity), pos, capacity)
-    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), n)
-    dst = jnp.tile(jnp.arange(n, dtype=jnp.int32), n)
-    senders = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(src, mode="drop")
-    receivers = jnp.zeros((capacity + 1,), jnp.int32).at[slot].set(dst, mode="drop")
+    # hits ranked first (earliest index first): identical ordering to the
+    # old cumsum compaction, without the giant scatter
+    key = jnp.where(flat, -jnp.arange(n * n, dtype=jnp.int32),
+                    jnp.iinfo(jnp.int32).min)
+    _, idx = jax.lax.top_k(key, capacity)
+    senders = (idx // n).astype(jnp.int32)
+    receivers = (idx % n).astype(jnp.int32)
     count = jnp.minimum(jnp.sum(flat), capacity)
     mask = jnp.arange(capacity) < count
-    return senders[:capacity], receivers[:capacity], mask
+    return (jnp.where(mask, senders, 0), jnp.where(mask, receivers, 0), mask)

@@ -76,8 +76,14 @@ def make_cloth_norm_state(cfg: ClothConfig, max_acc: float = 1e7) -> NormState:
 
 def build_cloth_graph(norm: NormState, template: GraphTemplate,
                       world_pos: jax.Array, vel: jax.Array,
-                      cfg: ClothConfig) -> MultiGraph:
-    """Assemble the two-edge-set graph at one state (normalized)."""
+                      cfg: ClothConfig, world_edges=None) -> MultiGraph:
+    """Assemble the two-edge-set graph at one state (normalized).
+
+    ``world_edges``: optional precomputed ``(senders, receivers, mask)`` —
+    the trainer builds them once per step for normalizer accumulation and
+    passes them here (the radius query costs ~5 ms at flag scale even after
+    the top_k rewrite; XLA's CSE merged the duplicate before, but only by
+    luck of identical call shapes)."""
     node_mask = template.node_mask
     nf = jnp.concatenate(
         [norm.node["velocity"](vel),
@@ -90,9 +96,12 @@ def build_cloth_graph(norm: NormState, template: GraphTemplate,
          jnp.linalg.norm(rel_w, axis=-1, keepdims=True)], -1)
     mesh_feat = norm.edge["mesh"](mesh_feat) * template.edge_mask[:, None]
 
-    ws, wr, wm = build_world_edges(
-        world_pos, node_mask, cfg.world_radius, cfg.world_capacity,
-        exclude_senders=template.senders, exclude_receivers=template.receivers)
+    if world_edges is None:
+        world_edges = build_world_edges(
+            world_pos, node_mask, cfg.world_radius, cfg.world_capacity,
+            exclude_senders=template.senders,
+            exclude_receivers=template.receivers)
+    ws, wr, wm = world_edges
     rel_ww = (world_pos[ws] - world_pos[wr]) * wm[:, None]
     world_feat = jnp.concatenate(
         [rel_ww, jnp.linalg.norm(rel_ww, axis=-1, keepdims=True)], -1)
@@ -164,7 +173,8 @@ def make_cloth_trainer(cfg: ClothConfig,
         target = norm.output["acceleration"](acc)
 
         def loss_fn(params):
-            graph = build_cloth_graph(norm, template, cur, vel, cfg)
+            graph = build_cloth_graph(norm, template, cur, vel, cfg,
+                                      world_edges=(ws, wr, wm))
             out = apply_mgn_multi(params, graph, cfg.model,
                                   fused_plan=template.fused_plan)
             return masked_mse(out, target, update_mask)
