@@ -25,6 +25,11 @@ from flax import struct
 from mgn_tpu.models.mlp import apply_mlp, init_mlp
 from mgn_tpu.ops.segment import gather, segment_sum
 
+# Padded-node ceiling for the NATIVE backward kernel under the multi
+# (node_extra) forward: the composite grad fails remote-compile above this
+# (bisect: 640-node flag OK, 1040 fails; CLOTH_COMPILE3_probe.json)
+_MULTI_KERNEL_BWD_MAX_N = 1024
+
 __all__ = ["EdgeSet", "MultiGraph", "MultiMGNConfig", "init_mgn_multi",
            "apply_mgn_multi"]
 
@@ -117,6 +122,14 @@ def apply_mgn_multi(
     ]
 
     use_fused = cfg.fused and fused_plan is not None and K == 2
+    # The NATIVE backward through the multi forward fails remote-compile
+    # above ~1k padded nodes (deterministic across sessions; bisected in
+    # benchmarks/results/CLOTH_COMPILE{,2,3}_probe.json — the bare
+    # node_extra kernel grad compiles at the same template, the composite
+    # multi grad does not, even at mps=2; the XLA-recompute backward always
+    # compiles).  Until the opaque helper error is understood, larger
+    # meshes take the fused forward + XLA backward.
+    kernel_bwd = bool(cfg.fused_backward) and n <= _MULTI_KERNEL_BWD_MAX_N
     if use_fused:
         from mgn_tpu.ops.fused import edges_resident, fused_fits
 
@@ -126,7 +139,7 @@ def apply_mgn_multi(
         # node_extra needs the resident-edge forward (and resident-residual
         # backward when kernel_bwd); over-budget meshes silently fall back
         use_fused = (fused_fits(n, e_mesh, L, dt,
-                                kernel_bwd=cfg.fused_backward,
+                                kernel_bwd=kernel_bwd,
                                 n_layers_e=n_layers, n_layers_n=n_layers)
                      and edges_resident(n, e_mesh, L, dt,
                                         n_layers_e=n_layers,
@@ -167,7 +180,7 @@ def apply_mgn_multi(
             v2, e_m2 = fused_process(
                 proc1, v, e_m, fused_plan, mesh_set.senders,
                 mesh_set.receivers, mesh_valid, 1, interpret=interpret,
-                kernel_bwd=cfg.fused_backward, return_edges=True,
+                kernel_bwd=kernel_bwd, return_edges=True,
                 node_extra=node_extra)
             return (v2, e_m2, e_w + msg_w), None
 
