@@ -30,7 +30,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-WORK = os.environ.get("MGN_ACCURACY_WORK", "/tmp/mgn_accuracy_r04b")
+_STRAT_DEFAULT = os.environ.get("MGN_ACCURACY_STRATEGY", "derivative")
+# per-strategy default work dir: a shared dir would make a shooting run
+# RESUME from derivative checkpoints and interleave metric logs
+WORK = os.environ.get(
+    "MGN_ACCURACY_WORK", f"/tmp/mgn_accuracy_r04b_{_STRAT_DEFAULT}")
 DS = os.path.join(WORK, "ds")
 CP = os.path.join(WORK, "cp")
 OUT = os.path.join(WORK, "out")

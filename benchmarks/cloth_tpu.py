@@ -81,7 +81,15 @@ def main():
         # XLA-backward combination as well
         cases.append(("fused_xlabwd", dict(fused=True, fused_backward=False)))
         cases.append(("fused", dict(fused=True, fused_backward=True)))
+    from mgn_tpu.models import mgn_multi as _mm
+
+    _bwd_gate_default = _mm._MULTI_KERNEL_BWD_MAX_N
     for name, over in cases:
+        # the "fused" case must exercise the NATIVE backward even above the
+        # compile-boundary gate (that failure is exactly what it documents);
+        # fused_xlabwd/unfused keep the shipped gate
+        _mm._MULTI_KERNEL_BWD_MAX_N = (10**9 if name == "fused"
+                                       else _bwd_gate_default)
         mcfg = cloth_model_config(
             ds.meta, latent=128, hidden_layers=2, mps=15,
             compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32, **over)

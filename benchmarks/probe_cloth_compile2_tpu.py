@@ -30,6 +30,9 @@ results = {"variants": {}}
 
 def attempt(name, thunk):
     import jax  # noqa
+    from mgn_tpu.models import mgn_multi as _mm
+
+    _mm._MULTI_KERNEL_BWD_MAX_N = 10**9  # probes exercise the native bwd
 
     try:
         thunk()

@@ -204,7 +204,7 @@ def main():
         pt_sp = partition_template(pos, node_type, s, r, 1,
                                    spatial_order=True)
         deep_cases = [(MPS, 512), (MPS, 1024)]
-        if MPS % 5 == 0:
+        if MPS % 5 == 0 and MPS != 5:
             deep_cases.append((5, 512))
         for k, ch in deep_cases:
             name = f"deep_k{k}" + ("" if ch == 512 else f"_c{ch}")

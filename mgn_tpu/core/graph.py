@@ -349,7 +349,14 @@ def build_world_edges(
     scatters — this dominated the whole cloth training step).
     """
     n = world_pos.shape[0]
+    # center before the Gram trick: |a|^2+|b|^2-2ab loses ~|x|^2*eps to f32
+    # cancellation, which passes radius^2 once coordinates are O(100) from
+    # the origin (wrong contact edges); distances are translation-invariant,
+    # so centering bounds |x| by the mesh extent (round-4 review finding)
     wp = world_pos.astype(jnp.float32)
+    wp = wp - jnp.mean(jnp.where(node_mask[:, None], wp, 0.0), axis=0,
+                       keepdims=True) / jnp.maximum(
+        jnp.mean(node_mask.astype(jnp.float32)), 1e-9)
     sq = jnp.sum(wp * wp, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (wp @ wp.T)  # (N, N) via MXU
     valid = node_mask[:, None] & node_mask[None, :]
@@ -362,7 +369,11 @@ def build_world_edges(
     # old cumsum compaction, without the giant scatter
     key = jnp.where(flat, -jnp.arange(n * n, dtype=jnp.int32),
                     jnp.iinfo(jnp.int32).min)
-    _, idx = jax.lax.top_k(key, capacity)
+    k = min(capacity, n * n)
+    _, idx = jax.lax.top_k(key, k)
+    if k < capacity:  # tiny meshes: pad back up to the static capacity
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((capacity - k,), idx.dtype)])
     senders = (idx // n).astype(jnp.int32)
     receivers = (idx % n).astype(jnp.int32)
     count = jnp.minimum(jnp.sum(flat), capacity)

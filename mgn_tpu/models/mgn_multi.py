@@ -26,9 +26,12 @@ from mgn_tpu.models.mlp import apply_mlp, init_mlp
 from mgn_tpu.ops.segment import gather, segment_sum
 
 # Padded-node ceiling for the NATIVE backward kernel under the multi
-# (node_extra) forward: the composite grad fails remote-compile above this
-# (bisect: 640-node flag OK, 1040 fails; CLOTH_COMPILE3_probe.json)
-_MULTI_KERNEL_BWD_MAX_N = 1024
+# (node_extra) forward: the composite grad fails remote-compile somewhere in
+# (640, 1040] padded nodes (bisect: 640-node flag OK, 1040 fails;
+# CLOTH_COMPILE3_probe.json) — gate at the highest VERIFIED-GOOD point, not
+# inside the untested interval.  Benchmarks/probes that must exercise the
+# native backward above this raise the module attribute explicitly.
+_MULTI_KERNEL_BWD_MAX_N = 640
 
 __all__ = ["EdgeSet", "MultiGraph", "MultiMGNConfig", "init_mgn_multi",
            "apply_mgn_multi"]

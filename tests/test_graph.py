@@ -129,3 +129,34 @@ def test_index_helpers_roundtrip():
     import pytest as _pytest
     with _pytest.raises(IndexError):
         ci_to_li(dims, (4, 0, 0))
+
+
+def test_world_edges_far_from_origin():
+    """The Gram-matmul distance path must not lose contacts to f32
+    cancellation when coordinates sit far from the origin (round-4 review:
+    un-centered |x|^2*eps exceeded radius^2 at offsets ~O(100), silently
+    corrupting contact edges)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.random((64, 3)).astype(np.float32) * [0.5, 0.5, 0.05]
+    mask = jnp.ones((64,), bool)
+
+    def pairs_at(offset):
+        pos = jnp.asarray(base + offset)
+        s, r, m = G.build_world_edges(pos, mask, radius=0.05, capacity=512)
+        return {(int(a), int(b)) for a, b, ok in zip(s, r, m) if ok}
+
+    ref = pairs_at(0.0)
+    assert ref, "degenerate test: no contacts at all"
+    for off in (50.0, 200.0):
+        assert pairs_at(off) == ref, f"edge set changed at offset {off}"
+
+
+def test_world_edges_capacity_exceeds_pairs():
+    """capacity > n^2 must clamp, not crash (top_k k limit)."""
+    pos = jnp.zeros((4, 3))
+    mask = jnp.ones((4,), bool)
+    s, r, m = G.build_world_edges(pos, mask, radius=0.5, capacity=32)
+    assert s.shape == (32,)
+    assert int(m.sum()) == 12  # 4*3 ordered pairs, all within radius
