@@ -256,8 +256,77 @@ def stage3():
     print("wrote", out, flush=True)
 
 
+
+
+
+def stage4():
+    """Hypothesis: the native-backward multi compile failure is the SAME
+    scoped-VMEM operand-fusion OOM round 3 measured for the SPMD fused path
+    (parallel/mesh.compiler_options_for — XLA stages the backward's big
+    residual-stack operand fusions in scoped VMEM under the global 16 MB
+    default, and the remote compile helper turns the OOM into an opaque
+    exit-1).  Re-run the failing multi_grad_50x32 native-bwd compile WITH
+    the program-wide scoped-vmem cap raised to the kernels' own limit."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgn_tpu.data.pipeline import load_dataset
+    from mgn_tpu.data.prep import prepare_trajectory
+    from mgn_tpu.data.synthetic import write_flag_dataset
+    from mgn_tpu.models.mgn_multi import init_mgn_multi, apply_mgn_multi
+    from mgn_tpu.ops import fused as _F
+    from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                     cloth_model_config,
+                                     make_cloth_norm_state)
+    from mgn_tpu.train.common import FieldSpec
+
+    on_tpu = jax.default_backend() == "tpu"
+    dt_ = jnp.bfloat16 if on_tpu else jnp.float32
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": int(_F._VMEM_LIMIT) >> 10}
+            if on_tpu else None)
+
+    ds_path = "/tmp/mgn_flag_probe_50x32"
+    if not os.path.isfile(os.path.join(ds_path, "meta.json")):
+        write_flag_dataset(ds_path, nx=50, ny=32, tl=5, n_train=1,
+                           n_valid=1, n_test=1)
+    ds = load_dataset(ds_path, is_training=True)
+    spec = FieldSpec.from_meta(ds.meta)
+    prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec,
+                              spatial_reorder=True)
+    cc = ClothConfig(
+        model=cloth_model_config(ds.meta, latent=128, hidden_layers=2,
+                                 mps=15, compute_dtype=dt_, fused=True,
+                                 fused_backward=True),
+        world_radius=0.05, world_capacity=2048, noise_stddev=0.003,
+        norm_steps=0)
+    params = init_mgn_multi(jax.random.PRNGKey(0), cc.model)
+    norm = make_cloth_norm_state(cc)
+    wp = np.asarray(prep.fields["world_pos"])
+    cur = jnp.asarray(wp[1])
+    vel = jnp.asarray((wp[1] - wp[0]) / (prep.times[1] - prep.times[0]))
+    graph = build_cloth_graph(norm, prep.template, cur, vel, cc)
+
+    def loss(p):
+        out = apply_mgn_multi(p, graph, cc.model,
+                              fused_plan=prep.template.fused_plan)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    attempt("multi_grad_50x32_scopedvmem", lambda: jax.jit(
+        jax.grad(loss), compiler_options=opts).lower(params).compile())
+    # control in the same process/session: default options must still fail
+    attempt("multi_grad_50x32_default_ctrl", lambda: jax.jit(
+        jax.grad(loss)).lower(params).compile())
+
+    out = os.path.join(_HERE, "results", "CLOTH_COMPILE4_probe.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("MGN_CLOTH_STAGE3"):
+    if os.environ.get("MGN_CLOTH_STAGE4"):
+        stage4()
+    elif os.environ.get("MGN_CLOTH_STAGE3"):
         stage3()
     else:
         main()
