@@ -41,6 +41,7 @@ def main():
     from mgn_tpu.data.synthetic import write_flag_dataset
     from mgn_tpu.models.mgn_multi import init_mgn_multi
     from mgn_tpu.train.cloth import (ClothConfig, cloth_model_config,
+                                     jit_cloth_trainer,
                                      make_cloth_norm_state, make_cloth_trainer)
     from mgn_tpu.train.common import FieldSpec, TrainState
 
@@ -81,15 +82,7 @@ def main():
         # XLA-backward combination as well
         cases.append(("fused_xlabwd", dict(fused=True, fused_backward=False)))
         cases.append(("fused", dict(fused=True, fused_backward=True)))
-    from mgn_tpu.models import mgn_multi as _mm
-
-    _bwd_gate_default = _mm._MULTI_KERNEL_BWD_MAX_N
     for name, over in cases:
-        # the "fused" case must exercise the NATIVE backward even above the
-        # compile-boundary gate (that failure is exactly what it documents);
-        # fused_xlabwd/unfused keep the shipped gate
-        _mm._MULTI_KERNEL_BWD_MAX_N = (10**9 if name == "fused"
-                                       else _bwd_gate_default)
         mcfg = cloth_model_config(
             ds.meta, latent=128, hidden_layers=2, mps=15,
             compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32, **over)
@@ -106,7 +99,7 @@ def main():
         if name == "fused" and prep.template.fused_plan is None:
             results[name] = {"error": "no fused plan"}
             continue
-        trainer = jax.jit(make_cloth_trainer(cfg, opt))
+        trainer = jit_cloth_trainer(cfg, opt)
         params = init_mgn_multi(jax.random.PRNGKey(0), mcfg)
         st = TrainState(params=params, opt_state=opt.init(params),
                         norm=make_cloth_norm_state(cfg),

@@ -30,9 +30,6 @@ results = {"variants": {}}
 
 def attempt(name, thunk):
     import jax  # noqa
-    from mgn_tpu.models import mgn_multi as _mm
-
-    _mm._MULTI_KERNEL_BWD_MAX_N = 10**9  # probes exercise the native bwd
 
     try:
         thunk()
@@ -57,6 +54,7 @@ def main():
     from mgn_tpu.data.synthetic import write_flag_dataset
     from mgn_tpu.models.mgn_multi import init_mgn_multi, apply_mgn_multi
     from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                         jit_cloth_trainer,
                                      cloth_model_config,
                                      make_cloth_norm_state,
                                      make_cloth_trainer)
@@ -114,7 +112,7 @@ def main():
         ds2, spec2, prep2 = setup(nx, ny)
         cc = mk_cfg(True)(ds2.meta)
         opt = optax.adam(1e-4)
-        tr = jax.jit(make_cloth_trainer(cc, opt))
+        tr = jit_cloth_trainer(cc, opt)
         p2 = init_mgn_multi(jax.random.PRNGKey(0), cc.model)
         st = TrainState(params=p2, opt_state=opt.init(p2),
                         norm=make_cloth_norm_state(cc),
@@ -181,6 +179,7 @@ def stage3():
     from mgn_tpu.models.mgn_multi import init_mgn_multi, apply_mgn_multi
     from mgn_tpu.ops.fused import fused_process
     from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                         jit_cloth_trainer,
                                      cloth_model_config,
                                      make_cloth_norm_state)
     from mgn_tpu.train.common import FieldSpec
@@ -276,6 +275,7 @@ def stage4():
     from mgn_tpu.models.mgn_multi import init_mgn_multi, apply_mgn_multi
     from mgn_tpu.ops import fused as _F
     from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                         jit_cloth_trainer,
                                      cloth_model_config,
                                      make_cloth_norm_state)
     from mgn_tpu.train.common import FieldSpec

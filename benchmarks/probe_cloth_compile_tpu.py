@@ -115,6 +115,7 @@ def main():
         from mgn_tpu.data.synthetic import write_flag_dataset
         from mgn_tpu.models.mgn_multi import init_mgn_multi
         from mgn_tpu.train.cloth import (ClothConfig, cloth_model_config,
+                                         jit_cloth_trainer,
                                          make_cloth_norm_state,
                                          make_cloth_trainer)
         from mgn_tpu.train.common import FieldSpec, TrainState
@@ -135,7 +136,7 @@ def main():
         prep = prepare_trajectory(ds.trajectory(0), ds.meta, spec,
                                   spatial_reorder=True)
         opt = optax.adam(1e-4)
-        trainer = jax.jit(make_cloth_trainer(ccfg, opt))
+        trainer = jit_cloth_trainer(ccfg, opt)
         params = init_mgn_multi(jax.random.PRNGKey(0), mcfg)
         st = TrainState(params=params, opt_state=opt.init(params),
                         norm=make_cloth_norm_state(ccfg),

@@ -128,6 +128,7 @@ def main():
         from mgn_tpu.models.mgn_multi import (apply_mgn_multi,
                                               init_mgn_multi)
         from mgn_tpu.train.cloth import (ClothConfig, build_cloth_graph,
+                                         jit_cloth_trainer,
                                          cloth_model_config,
                                          make_cloth_norm_state,
                                          make_cloth_trainer)
@@ -164,7 +165,7 @@ def main():
             return jax.grad(loss)(p)
 
         opt = optax.adam(1e-4)
-        trainer = jax.jit(make_cloth_trainer(cc, opt))
+        trainer = jit_cloth_trainer(cc, opt)
         st = TrainState(params=params, opt_state=opt.init(params),
                         norm=norm, step=jnp.zeros((), jnp.int32))
         perm1 = jnp.asarray([1], jnp.int32)

@@ -21,6 +21,7 @@ from mgn_tpu.data.pipeline import load_dataset
 from mgn_tpu.data.prep import common_buckets, prepare_trajectory
 from mgn_tpu.models.mgn_multi import init_mgn_multi
 from mgn_tpu.train.cloth import (ClothConfig, cloth_model_config,
+                                 jit_cloth_rollout, jit_cloth_trainer,
                                  make_cloth_norm_state, make_cloth_rollout,
                                  make_cloth_trainer)
 from mgn_tpu.train.common import FieldSpec, TrainState
@@ -53,7 +54,7 @@ def main():
     rng = np.random.default_rng(0)
 
     if mode == "train":
-        trainer = jax.jit(make_cloth_trainer(cfg, opt))
+        trainer = jit_cloth_trainer(cfg, opt)
         for epoch in range(100):
             for i in range(ds.num_trajectories):
                 prep = prepare_trajectory(ds.trajectory(i), meta, spec, nb, eb)
@@ -66,7 +67,7 @@ def main():
                         loss=float(np.asarray(losses).mean()))
             ckpt.save(state, float(np.asarray(losses).mean()))
     else:
-        rollout = jax.jit(make_cloth_rollout(cfg))
+        rollout = jit_cloth_rollout(cfg)
         for i in range(ds.num_trajectories):
             prep = prepare_trajectory(ds.trajectory(i), meta, spec, nb, eb)
             pred = rollout(state.params, state.norm, prep.template,

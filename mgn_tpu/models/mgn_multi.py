@@ -25,14 +25,6 @@ from flax import struct
 from mgn_tpu.models.mlp import apply_mlp, init_mlp
 from mgn_tpu.ops.segment import gather, segment_sum
 
-# Padded-node ceiling for the NATIVE backward kernel under the multi
-# (node_extra) forward: the composite grad fails remote-compile somewhere in
-# (640, 1040] padded nodes (bisect: 640-node flag OK, 1040 fails;
-# CLOTH_COMPILE3_probe.json) — gate at the highest VERIFIED-GOOD point, not
-# inside the untested interval.  Benchmarks/probes that must exercise the
-# native backward above this raise the module attribute explicitly.
-_MULTI_KERNEL_BWD_MAX_N = 640
-
 __all__ = ["EdgeSet", "MultiGraph", "MultiMGNConfig", "init_mgn_multi",
            "apply_mgn_multi"]
 
@@ -125,14 +117,12 @@ def apply_mgn_multi(
     ]
 
     use_fused = cfg.fused and fused_plan is not None and K == 2
-    # The NATIVE backward through the multi forward fails remote-compile
-    # above ~1k padded nodes (deterministic across sessions; bisected in
-    # benchmarks/results/CLOTH_COMPILE{,2,3}_probe.json — the bare
-    # node_extra kernel grad compiles at the same template, the composite
-    # multi grad does not, even at mps=2; the XLA-recompute backward always
-    # compiles).  Until the opaque helper error is understood, larger
-    # meshes take the fused forward + XLA backward.
-    kernel_bwd = bool(cfg.fused_backward) and n <= _MULTI_KERNEL_BWD_MAX_N
+    # NOTE: the native backward at flag scale needs the scoped-vmem
+    # compiler options (train/cloth.cloth_compiler_options; the round-4
+    # bisect CLOTH_COMPILE{,2,3,4}_probe.json traced an opaque remote
+    # compile failure to XLA staging the backward's residual-stack operand
+    # fusions in scoped VMEM above the 16 MB default)
+    kernel_bwd = bool(cfg.fused_backward)
     if use_fused:
         from mgn_tpu.ops.fused import edges_resident, fused_fits
 

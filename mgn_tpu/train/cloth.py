@@ -32,7 +32,9 @@ from mgn_tpu.models.mgn_multi import (EdgeSet, MultiGraph, MultiMGNConfig,
 from mgn_tpu.train.common import NormState, TrainState, masked_mse, type_mask
 
 __all__ = ["ClothConfig", "make_cloth_norm_state", "make_cloth_trainer",
-           "make_cloth_rollout", "cloth_model_config", "build_cloth_graph"]
+           "make_cloth_rollout", "cloth_model_config", "build_cloth_graph",
+           "cloth_compiler_options", "jit_cloth_trainer",
+           "jit_cloth_rollout"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,3 +231,40 @@ def make_cloth_rollout(cfg: ClothConfig) -> Callable:
         return jnp.concatenate([world_pos_gt[:2], preds], axis=0)
 
     return rollout
+
+
+def cloth_compiler_options():
+    """XLA options the fused cloth trainer needs on TPU.
+
+    The native backward kernel's residual-stack operand fusions stage in
+    SCOPED vmem above the global 16 MB default — the same operand-fusion OOM
+    ``parallel/mesh.compiler_options_for`` fixes for SPMD programs.  The
+    remote compile helper obscures the OOM as an opaque exit-1, which is why
+    flag-scale native-backward training "failed to compile" until the
+    round-4 bisect (CLOTH_COMPILE4_probe.json: raised-cap compile OK,
+    default-cap control fails, same session).  Returns None off-TPU."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from mgn_tpu.ops import fused as _F
+
+    return {"xla_tpu_scoped_vmem_limit_kib": int(_F._VMEM_LIMIT) >> 10}
+
+
+def jit_cloth_trainer(cfg: ClothConfig, optimizer):
+    """``jax.jit(make_cloth_trainer(...))`` with the required compiler
+    options (see :func:`cloth_compiler_options`) — use this instead of
+    jitting by hand; a plain ``jax.jit`` loses the scoped-vmem cap and the
+    native backward fails to compile at flag scale."""
+    import jax
+
+    return jax.jit(make_cloth_trainer(cfg, optimizer),
+                   compiler_options=cloth_compiler_options())
+
+
+def jit_cloth_rollout(cfg: ClothConfig):
+    import jax
+
+    return jax.jit(make_cloth_rollout(cfg),
+                   compiler_options=cloth_compiler_options())

@@ -11,6 +11,7 @@ from mgn_tpu.data.prep import common_buckets, prepare_trajectory
 from mgn_tpu.data.synthetic import write_flag_dataset
 from mgn_tpu.models.mgn_multi import init_mgn_multi
 from mgn_tpu.train.cloth import (ClothConfig, cloth_model_config,
+                                 jit_cloth_rollout, jit_cloth_trainer,
                                  make_cloth_norm_state, make_cloth_rollout,
                                  make_cloth_trainer)
 from mgn_tpu.train.common import FieldSpec, TrainState
@@ -46,7 +47,7 @@ def test_cloth_model_dims(setup):
 
 def test_cloth_training_reduces_loss(setup):
     ds, prep, cfg, opt, state = setup
-    trainer = jax.jit(make_cloth_trainer(cfg, opt))
+    trainer = jit_cloth_trainer(cfg, opt)
     wp = prep.fields["world_pos"]
     rng = np.random.default_rng(0)
     hist = []
@@ -64,7 +65,7 @@ def test_cloth_training_reduces_loss(setup):
 
 def test_cloth_rollout_shapes_and_handles(setup):
     ds, prep, cfg, opt, state = setup
-    rollout = jax.jit(make_cloth_rollout(cfg))
+    rollout = jit_cloth_rollout(cfg)
     wp = prep.fields["world_pos"]
     pred = rollout(state.params, state.norm, prep.template, wp, prep.times)
     assert pred.shape == wp.shape
