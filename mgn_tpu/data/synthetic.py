@@ -176,12 +176,22 @@ def make_flag_mesh(nx: int = 8, ny: int = 6):
 
 
 def make_flag_trajectory(mesh_pos: np.ndarray, node_type: np.ndarray, tl: int,
-                         dt: float, seed: int = 0) -> np.ndarray:
+                         dt: float, seed: int = 0,
+                         amp: Optional[float] = None,
+                         freq: Optional[float] = None) -> np.ndarray:
     """Waving-cloth world positions (T, N, 3): reference sheet + traveling
-    transverse wave, handle pinned."""
+    transverse wave, handle pinned.
+
+    With the default per-trajectory random ``freq`` the second-order
+    dynamics are NOT Markovian in (position, velocity) — the acceleration is
+    proportional to freq^2, unobservable from one state.  Pass fixed
+    ``amp``/``freq`` for convergence studies (the field is then exactly
+    harmonic: acc = -(2 pi freq)^2 * displacement)."""
     rng = np.random.default_rng(seed)
-    amp = 0.1 + 0.1 * rng.random()
-    freq = 2.0 + 2.0 * rng.random()
+    if amp is None:
+        amp = 0.1 + 0.1 * rng.random()
+    if freq is None:
+        freq = 2.0 + 2.0 * rng.random()
     x, y = mesh_pos[:, 0], mesh_pos[:, 1]
     t = np.arange(tl, dtype=np.float32)[:, None] * dt
     z = amp * x[None, :] * np.sin(2 * np.pi * (2 * x[None, :] - freq * t))
@@ -218,7 +228,9 @@ def flag_meta(tl: int, n_train: int, n_valid: int, dt: float = 0.02):
 
 def write_flag_dataset(path: str, nx: int = 8, ny: int = 6, tl: int = 30,
                        n_train: int = 2, n_valid: int = 1, n_test: int = 1,
-                       dt: float = 0.02, seed: int = 0):
+                       dt: float = 0.02, seed: int = 0,
+                       amp: Optional[float] = None,
+                       freq: Optional[float] = None):
     """FlagSimple-shaped synthetic dataset (cloth with 3-D world dynamics)."""
     os.makedirs(path, exist_ok=True)
     pos, cells, node_type = make_flag_mesh(nx, ny)
@@ -234,7 +246,8 @@ def write_flag_dataset(path: str, nx: int = 8, ny: int = 6, tl: int = 30,
                 g["mesh_pos"] = pos
                 g["node_type"] = node_type[:, None]
                 g["world_pos"] = make_flag_trajectory(pos, node_type, tl, dt,
-                                                      seed + 100 + k)
+                                                      seed + 100 + k,
+                                                      amp=amp, freq=freq)
                 k += 1
     return meta
 
