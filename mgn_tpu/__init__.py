@@ -15,7 +15,8 @@ Public API parity with the reference's exports
 
 from mgn_tpu.api import eval_network, simulate, train_network
 from mgn_tpu.config import Args
-from mgn_tpu.serve import export_simulator, load_simulator
+from mgn_tpu.serve import (export_cloth_simulator, export_simulator,
+                           load_simulator)
 from mgn_tpu.train.strategies import (DerivativeTraining, MultipleShooting,
                                       SolverTraining)
 from mgn_tpu.utils.stats import data_meanstd, der_minmax
@@ -26,6 +27,7 @@ __all__ = [
     "train_network",
     "eval_network",
     "simulate",
+    "export_cloth_simulator",
     "export_simulator",
     "load_simulator",
     "der_minmax",

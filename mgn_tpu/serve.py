@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["export_simulator", "load_simulator"]
+__all__ = ["export_simulator", "export_cloth_simulator", "load_simulator"]
 
 
 def export_simulator(
@@ -107,6 +107,63 @@ def export_simulator(
         jax.ShapeDtypeStruct((int(num_steps),), jnp.float32),
         *[jax.ShapeDtypeStruct((n_raw, d), jnp.float32)
           for d in spec.field_dims])
+    return exp.serialize()
+
+
+def export_cloth_simulator(
+    params: Dict[str, Any],
+    norm: Any,
+    mesh_pos: np.ndarray,
+    node_type: np.ndarray,
+    cells: np.ndarray,
+    cfg: Any,  # train.cloth.ClothConfig
+    num_steps: int,
+    platforms: Optional[Sequence[str]] = None,
+    type_min: int = 0,
+    type_max: int = 6,
+) -> bytes:
+    """Serialize the CLOTH simulator (multi-edge-set family) for one mesh.
+
+    The cloth serving path is the semi-implicit second-order rollout of
+    ``train/cloth.make_cloth_rollout`` — including the per-step dynamic
+    world-edge radius query, which is baked into the artifact as device code
+    (Gram-matmul distances + ``top_k`` compaction).  The exported function
+    has signature ``(times (T,), world_pos_drive (T, N, 3)) -> pred
+    (T, N, 3)``: rows of ``world_pos_drive`` at HANDLE nodes (types outside
+    ``cfg.types_updated``) are the kinematic drive read at every step; all
+    other rows are only read at the two initial frames.  ``type_min`` /
+    ``type_max`` must match the meta's node_type ``data_min``/``data_max``
+    the model was configured from (the one-hot width is part of
+    ``cfg.model.node_input_dim``).  Like
+    :func:`export_simulator`, the deployment site needs only jax — no model
+    code, checkpoint, or meta.json (the reference has no serving analogue,
+    /root/reference/src/MeshGraphNets.jl:507-548)."""
+    from mgn_tpu.core.graph import build_template
+    from mgn_tpu.train.cloth import make_cloth_rollout
+
+    node_type = np.asarray(node_type, np.int32).reshape(-1)
+    n_raw = node_type.shape[0]
+    template = build_template(np.asarray(mesh_pos, np.float32), node_type,
+                              cells=np.asarray(cells, np.int32),
+                              type_min=type_min, type_max=type_max)
+    n_pad = template.num_nodes
+    rollout = make_cloth_rollout(cfg)
+
+    def fn(times, wp_drive):
+        padded = jnp.zeros((wp_drive.shape[0], n_pad, wp_drive.shape[2]),
+                           jnp.float32)
+        padded = padded.at[:, :n_raw].set(wp_drive)
+        pred = rollout(params, norm, template, padded, times)
+        return pred[:, :n_raw]
+
+    from jax import export as jexport
+
+    plats = list(platforms) if platforms else [jax.default_backend()]
+    scope = jexport.export(jax.jit(fn), platforms=plats)
+    exp = scope(
+        jax.ShapeDtypeStruct((int(num_steps),), jnp.float32),
+        jax.ShapeDtypeStruct((int(num_steps), n_raw, cfg.world_dim),
+                             jnp.float32))
     return exp.serialize()
 
 

@@ -146,3 +146,31 @@ def test_apply_mgn_multi_fused_matches_plain():
         for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(g)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-3, atol=2e-4)
+
+
+def test_export_cloth_simulator_roundtrip(setup):
+    """Serving parity for the cloth family: the jax.export artifact (with the
+    dynamic world-edge query baked in) reproduces make_cloth_rollout."""
+    ds, prep, cfg, opt, state = setup
+    from mgn_tpu.serve import export_cloth_simulator, load_simulator
+
+    traj = ds.trajectory(0)
+    wp_raw = np.asarray(traj.fields["world_pos"], np.float32)
+    n = traj.num_nodes
+
+    blob = export_cloth_simulator(
+        state.params, state.norm, np.asarray(traj.mesh_pos),
+        np.asarray(traj.node_type), np.asarray(traj.cells), cfg,
+        num_steps=wp_raw.shape[0])
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+    sim = load_simulator(blob)
+    pred = np.asarray(sim(jnp.asarray(traj.times), jnp.asarray(wp_raw)))
+    assert pred.shape == wp_raw.shape
+
+    ref = np.asarray(jax.jit(make_cloth_rollout(cfg))(
+        state.params, state.norm, prep.template, prep.fields["world_pos"],
+        prep.times))[:, :n]
+    np.testing.assert_allclose(pred, ref, rtol=1e-4, atol=1e-5)
+    # handle nodes track the kinematic drive exactly
+    handles = np.asarray(traj.node_type).reshape(-1) == 3
+    assert np.allclose(pred[:, handles], wp_raw[:, handles], atol=1e-5)
