@@ -55,6 +55,10 @@ STEPS = _env("MGN_ACCURACY_STEPS", 200_000)
 # speed 1.0 the field returns exactly to frame 0 every 100 frames and the
 # persistence baseline gets a spuriously tiny POINT error at h=100/300
 SPEED = float(os.environ.get("MGN_ACCURACY_SPEED", 0.83))
+# "advection" (fixed-speed traveling wave, rounds 2-4) or "ns": incompressible
+# Navier-Stokes vortex shedding from mgn_tpu/data/ns.py — the nonlinear
+# north-star physics (round-5 verdict item 1)
+FIELD = os.environ.get("MGN_ACCURACY_FIELD", "advection")
 CHECKPOINT_EVERY = _env("MGN_ACCURACY_CKPT", 10_000)
 MSE_STEPS = tuple(s for s in (50, 100, 300, 599) if s < TL)
 # "derivative" (default) or "shooting": the NeuralODE MultipleShooting
@@ -65,19 +69,27 @@ RESULT_NAME = os.environ.get("MGN_ACCURACY_RESULT", "ACCURACY_r04.json")
 
 HYPERS = dict(
     mps=15, layer_size=128, hidden_layers=2,
-    norm_steps=1000, types_updated=(0, 5), types_noisy=(0,),
+    norm_steps=_env("MGN_ACCURACY_NORMSTEPS", 1000),
+    types_updated=(0, 5), types_noisy=(0,),
     compute_dtype="bfloat16", solver_valid="euler",
 )
 
 
 def ensure_dataset():
-    from mgn_tpu.data.synthetic import write_synthetic_dataset
-
     if os.path.exists(os.path.join(DS, "meta.json")):
         return
     print("writing dataset ...", flush=True)
-    write_synthetic_dataset(DS, num_nodes=NUM_NODES, tl=TL, n_train=N_TRAIN,
-                            n_valid=N_VALID, n_test=N_TEST, dt=DT, speed=SPEED)
+    if FIELD == "ns":
+        from mgn_tpu.data.ns import write_ns_dataset
+
+        write_ns_dataset(DS, num_nodes=NUM_NODES, tl=TL, n_train=N_TRAIN,
+                         n_valid=N_VALID, n_test=N_TEST, dt=DT)
+    else:
+        from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+        write_synthetic_dataset(DS, num_nodes=NUM_NODES, tl=TL,
+                                n_train=N_TRAIN, n_valid=N_VALID,
+                                n_test=N_TEST, dt=DT, speed=SPEED)
 
 
 def persistence_report(mse_steps):
@@ -90,6 +102,39 @@ def persistence_report(mse_steps):
             vel = np.asarray(f[i]["velocity"])  # (T, N, 2)
             persist = np.repeat(vel[:1], vel.shape[0], axis=0)
             reports.append(rollout_error_report(persist, vel, vel.shape[1],
+                                                mse_steps))
+    return reports
+
+
+def frozen_advection_report(mse_steps):
+    """Frozen-advection oracle: translate the frame-0 field downstream at the
+    trajectory's mean flow speed (linear interpolation of frame 0 at
+    x - s*t*dt, clamped to the domain).  On a pure advection field this
+    baseline is near-perfect; on vortex shedding it misses the self-excited
+    wake dynamics — beating it is the evidence the model learned *nonlinear*
+    physics, not translation (round-5 verdict item 1)."""
+    from scipy.interpolate import LinearNDInterpolator
+
+    from mgn_tpu.rollout.evaluate import rollout_error_report
+
+    reports = []
+    with h5py.File(os.path.join(DS, "test.h5"), "r") as f:
+        for i in sorted(f.keys(), key=int)[:N_TEST]:
+            vel = np.asarray(f[i]["velocity"])      # (T, N, 2)
+            pos = np.asarray(f[i]["mesh_pos"])      # (N, 2)
+            nt = np.asarray(f[i]["node_type"]).ravel()
+            fluid = nt == 0
+            s = float(vel[0, fluid, 0].mean())      # mean streamwise speed
+            itp = LinearNDInterpolator(pos, vel[0], fill_value=0.0)
+            T = vel.shape[0]
+            pred = np.empty_like(vel)
+            for t in range(T):
+                q = pos.copy()
+                q[:, 0] = np.clip(q[:, 0] - s * t * DT, pos[:, 0].min(),
+                                  pos[:, 0].max())
+                pred[t] = itp(q)
+            pred[:, ~fluid] = vel[:, ~fluid]        # boundary nodes forced
+            reports.append(rollout_error_report(pred, vel, vel.shape[1],
                                                 mse_steps))
     return reports
 
@@ -150,9 +195,14 @@ def main():
     from mgn_tpu.utils.metrics import MetricsLogger
 
     if STRATEGY == "shooting":
+        # MGN_ACCURACY_SOLVER=tsit5_adaptive selects the differentiable
+        # bounded-budget adaptive RK training path (round-5 verdict item 8;
+        # the role of /root/reference/src/strategies.jl:247-263)
         strategy = MultipleShooting(
             tstart=0.0, dt=DT, tstop=(TL - 1) * DT,
-            interval_size=_env("MGN_ACCURACY_INTERVAL", 25))
+            interval_size=_env("MGN_ACCURACY_INTERVAL", 25),
+            solver=os.environ.get("MGN_ACCURACY_SOLVER", "euler"),
+            adaptive_substeps=_env("MGN_ACCURACY_SUBSTEPS", 4))
         noise = 0.0  # solver strategies are noise-free (reference parity)
     else:
         strategy = DerivativeTraining()
@@ -173,6 +223,7 @@ def main():
     reports = eval_network(DS, CP, OUT, solver="euler", mse_steps=MSE_STEPS,
                            num_rollouts=N_TEST, metrics=log, **HYPERS)
     persist = persistence_report(MSE_STEPS)
+    oracle = frozen_advection_report(MSE_STEPS) if FIELD == "ns" else None
 
     curves, valid_curve, sessions = parse_train_log()
     # downsample the loss curve to <=300 points for the artifact
@@ -190,6 +241,8 @@ def main():
     p_rmse = mean_horizons(persist, "cum_rmse")
     m_mse = mean_horizons(reports, "mse")
     p_mse = mean_horizons(persist, "mse")
+    o_rmse = mean_horizons(oracle, "cum_rmse") if oracle else {}
+    o_mse = mean_horizons(oracle, "mse") if oracle else {}
     for s in m_rmse:
         per_horizon[s] = {
             "model_cum_rmse": m_rmse[s], "persistence_cum_rmse": p_rmse[s],
@@ -197,14 +250,24 @@ def main():
             "persistence_point_rmse": float(np.sqrt(p_mse[s])),
             "improvement_x": round(p_rmse[s] / max(m_rmse[s], 1e-12), 1),
         }
+        if s in o_rmse:
+            per_horizon[s]["oracle_cum_rmse"] = o_rmse[s]
+            per_horizon[s]["oracle_point_rmse"] = float(np.sqrt(o_mse[s]))
+            per_horizon[s]["improvement_vs_oracle_x"] = round(
+                o_rmse[s] / max(m_rmse[s], 1e-12), 1)
 
+    field_desc = ("incompressible NS vortex shedding (projection solver, "
+                  "Re~125-180, random phase)" if FIELD == "ns"
+                  else f"advection wave (fixed speed {SPEED})")
     result = {
         "workload": (f"synthetic cylinder-class channel, {NUM_NODES} nodes, "
-                     f"advection wave (fixed speed {SPEED}), tl={TL}, "
+                     f"{field_desc}, tl={TL}, "
                      f"dt={DT}, "
                      f"{N_TRAIN} train / {N_VALID} valid / {N_TEST} test"),
         "config": dict(HYPERS, steps=STEPS, checkpoint=CHECKPOINT_EVERY,
-                       noise=noise, lr=1e-4, strategy=STRATEGY),
+                       noise=noise, lr=1e-4, strategy=STRATEGY, field=FIELD,
+                       train_solver=os.environ.get("MGN_ACCURACY_SOLVER",
+                                                   "euler")),
         "train": {
             "final_step": final_step,
             "min_valid_loss": float(min_valid),

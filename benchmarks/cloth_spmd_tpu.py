@@ -158,11 +158,15 @@ def main():
     comm = {}
     for p in (2, 4, 8):
         n_p = -(-n // p)
-        lat_bytes = p * n_p * latent * 2          # bf16 latent all-gather
-        pos_bytes = p * n_p * 3 * 4               # f32 position gather/frame
+        # per-device WIRE traffic of a tiled all-gather is (P-1) shards in,
+        # not the P-shard gathered-table size (round-4 advisor finding 2:
+        # the old P*N_p numbers were the constant table size)
+        lat_wire = (p - 1) * n_p * latent * 2     # bf16 latent all-gather
+        pos_wire = (p - 1) * n_p * 3 * 4          # f32 position gather/frame
         comm[f"P{p}"] = {
-            "latent_allgather_bytes_per_round": lat_bytes,
-            "position_allgather_bytes_per_frame": pos_bytes,
+            "latent_allgather_wire_bytes_per_round_per_device": lat_wire,
+            "position_allgather_wire_bytes_per_frame_per_device": pos_wire,
+            "gathered_latent_table_bytes": p * n_p * latent * 2,
             "rounds_per_step": mcfg.message_passing_steps,
         }
     results["comm_volume"] = comm

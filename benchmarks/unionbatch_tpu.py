@@ -13,6 +13,7 @@ optimizer steps/s + samples/s.
 Run detached: nohup timeout 1500 python benchmarks/unionbatch_tpu.py &
 """
 
+import json
 import os
 import sys
 import time
@@ -20,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
+                      os.environ.get("MGN_UNION_RESULT", "UNIONBATCH_r05.json"))
 
 
 def main():
@@ -57,6 +61,7 @@ def main():
 
     batches = tuple(int(b) for b in os.environ.get(
         "MGN_UNION_BATCHES", "1,2,4").split(","))
+    rows = []
     preps_all = [prepare_trajectory(data.trajectory(i), meta, spec,
                                     spatial_reorder=True)
                  for i in range(max(batches))]
@@ -100,6 +105,9 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         print(f"B={B} fwd: {best*1e3:.3f} ms "
               f"{e_real*mps/best/1e6:.1f} M edges/s", flush=True)
+        row = {"B": B, "n_pad": int(n_pad), "e_pad": int(e_pad),
+               "e_real": int(e_real), "fwd_ms": round(best * 1e3, 3),
+               "fwd_medges_per_s": round(e_real * mps / best / 1e6, 1)}
 
         opt = optax.adam(1e-4)
         opt_state = opt.init(params)
@@ -130,6 +138,29 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         print(f"B={B} train: {best*1e3:.3f} ms/step {1/best:.1f} steps/s "
               f"{B/best:.1f} samples/s", flush=True)
+        row.update(train_ms_per_step=round(best * 1e3, 3),
+                   opt_steps_per_s=round(1 / best, 1),
+                   samples_per_s=round(B / best, 1))
+        rows.append(row)
+
+    if rows:
+        base_sps = rows[0]["samples_per_s"]
+        result = {
+            "workload": f"{num_nodes}-node cylinder-class union batching, "
+                        f"mps={mps}, bf16 fused fwd+bwd",
+            "rows": rows,
+            "samples_per_s_speedup_vs_B1": {
+                str(r["B"]): round(r["samples_per_s"] / base_sps, 3)
+                for r in rows},
+            "note": "batchsize implemented via disjoint-union graphs "
+                    "(data/union.py) — the reference's unimplemented flag, "
+                    "/root/reference/src/MeshGraphNets.jl:224",
+        }
+        os.makedirs(os.path.dirname(RESULT), exist_ok=True)
+        with open(RESULT, "w") as f:
+            json.dump(result, f, indent=1)
+        print("UNIONBATCH", json.dumps(result["samples_per_s_speedup_vs_B1"]),
+              flush=True)
 
 
 main()

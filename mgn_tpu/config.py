@@ -91,6 +91,13 @@ class Args:
     # k (depth k single-segment, 2k-1 multi-segment) — tune down on meshes
     # where the k-ring rivals the part size.
     halo_rounds: Optional[int] = None
+    # cloth family: static world-edge buffer size.  None = auto from the
+    # meta.json ``world_edges`` contract (capacity_per_node x padded nodes,
+    # api_cloth._world_capacity); under graph parallelism each shard keeps
+    # the FULL capacity (contact edges cluster spatially — a P-divided
+    # budget can silently drop edges one shard over, round-4 advisor
+    # finding 1)
+    world_capacity: Optional[int] = None
     prefetch: int = 2
     # cap on DEVICE-resident cached trajectory data (prepared field stacks /
     # partitioned templates), LRU-evicted beyond this.  Bounds HBM use on

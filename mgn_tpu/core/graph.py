@@ -364,6 +364,12 @@ def build_world_edges(
     if exclude_senders is not None:
         # mask out existing mesh edges (senders/receivers index pairs)
         hit = hit.at[exclude_senders, exclude_receivers].set(False)
+    # the int32 ranking key wraps (and collides with the sentinel) once
+    # n*n reaches 2^31 (~46k nodes) — shapes are static, guard host-side
+    assert n * n < 2 ** 31, (
+        f"world-edge top_k ranking key overflows int32 at n={n} (>=~46341 "
+        "nodes); use the sharded builder (parallel/cloth.py) for meshes "
+        "this large")
     flat = hit.reshape(-1)
     # hits ranked first (earliest index first): identical ordering to the
     # old cumsum compaction, without the giant scatter

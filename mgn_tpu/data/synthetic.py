@@ -178,24 +178,33 @@ def make_flag_mesh(nx: int = 8, ny: int = 6):
 def make_flag_trajectory(mesh_pos: np.ndarray, node_type: np.ndarray, tl: int,
                          dt: float, seed: int = 0,
                          amp: Optional[float] = None,
-                         freq: Optional[float] = None) -> np.ndarray:
+                         freq: Optional[float] = None,
+                         phase: Optional[float] = None) -> np.ndarray:
     """Waving-cloth world positions (T, N, 3): reference sheet + traveling
     transverse wave, handle pinned.
 
     With the default per-trajectory random ``freq`` the second-order
     dynamics are NOT Markovian in (position, velocity) — the acceleration is
-    proportional to freq^2, unobservable from one state.  Pass fixed
-    ``amp``/``freq`` for convergence studies (the field is then exactly
-    harmonic: acc = -(2 pi freq)^2 * displacement)."""
+    proportional to freq^2, unobservable from one state.  Pass a fixed
+    ``freq`` for convergence studies (the field is then exactly harmonic:
+    acc = -(2 pi freq)^2 * displacement).  ``amp`` and ``phase`` CAN vary
+    per trajectory within that Markovian family — the acceleration stays
+    proportional to the observable displacement — and ``phase`` defaults to
+    a per-seed random draw so trajectories differ (round 4 trained on 8
+    byte-identical trajectories because fixed amp+freq left seed with
+    nothing to randomize — the marginal long-horizon number's root cause)."""
     rng = np.random.default_rng(seed)
     if amp is None:
         amp = 0.1 + 0.1 * rng.random()
     if freq is None:
         freq = 2.0 + 2.0 * rng.random()
+    if phase is None:
+        phase = 2 * np.pi * rng.random()
     x, y = mesh_pos[:, 0], mesh_pos[:, 1]
     t = np.arange(tl, dtype=np.float32)[:, None] * dt
-    z = amp * x[None, :] * np.sin(2 * np.pi * (2 * x[None, :] - freq * t))
-    wx = x[None, :] * (1 - 0.1 * amp * np.sin(2 * np.pi * freq * t))
+    z = amp * x[None, :] * np.sin(
+        2 * np.pi * (2 * x[None, :] - freq * t) + phase)
+    wx = x[None, :] * (1 - 0.1 * amp * np.sin(2 * np.pi * freq * t + phase))
     world = np.stack([wx, np.broadcast_to(y[None, :], wx.shape), z], -1)
     world[:, node_type == 3, 2] = 0.0
     return world.astype(np.float32)

@@ -173,6 +173,12 @@ def build_world_edges_sharded(
         # blanking them is a no-op — same argument as the single-chip path
         hit = hit.at[exclude_senders, exclude_receivers].set(False)
 
+    # the int32 ranking key wraps (and collides with the sentinel) once
+    # n_tot * n_p reaches 2^31 — shapes are static, so guard host-side
+    # (round-4 advisor finding 4; same bound as the single-chip builder)
+    assert n_tot * n_p < 2 ** 31, (
+        f"world-edge top_k ranking key overflows int32: n_tot*n_p = "
+        f"{n_tot}*{n_p} >= 2^31; shard the mesh further or tile the query")
     flat = hit.reshape(-1)
     key = jnp.where(flat, -jnp.arange(n_tot * n_p, dtype=jnp.int32),
                     jnp.iinfo(jnp.int32).min)
@@ -287,13 +293,17 @@ def make_sharded_cloth_trainer(
                                cfg.types_noisy) & node_mask
         sg, rl = batch["sg"], batch["rl"]
 
-        def one_step(st: TrainState, xs):
-            t, k = xs
+        def one_step(st: TrainState, t):
             dt_t = times[t] - times[t - 1]
             idx = lambda off: jax.lax.dynamic_index_in_dim(
                 wp_stack, t + off, 0, keepdims=False)
             prev, cur, nxt = idx(-1), idx(0), idx(1)
-            # decorrelate noise across graph shards (key arrives replicated)
+            # same key schedule as the single-device trainer — fold_in by
+            # GLOBAL step (train/cloth.py train_window), then by the axis
+            # index to decorrelate noise across graph shards (round-4
+            # advisor finding 3: split-by-window-position diverged from the
+            # single-device noise stream)
+            k = jax.random.fold_in(key, st.step)
             k_sh = jax.random.fold_in(k, jax.lax.axis_index(axis))
             noise = cfg.noise_stddev * jax.random.normal(k_sh, cur.shape)
             cur = cur + noise * noisy_mask[:, None]
@@ -353,8 +363,7 @@ def make_sharded_cloth_trainer(
                               opt_state=sel(new_opt, st.opt_state),
                               norm=norm, step=st.step + 1), loss
 
-        keys = jax.random.split(key, perm.shape[0])
-        return jax.lax.scan(one_step, state, (perm, keys))
+        return jax.lax.scan(one_step, state, perm)
 
     fn = shard_map(
         local_window, mesh=mesh,

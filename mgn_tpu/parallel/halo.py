@@ -185,6 +185,8 @@ def apply_mgn_sharded_deep(
     rows: Optional[jax.Array],  # (N_ext+1,) CSR (XLA path)
     rounds: int,           # processor rounds per exchange (k)
     fused_plan: Optional[Any] = None,  # FusedPlan over the ext table
+    stages: Optional[Any] = None,  # telescoped shrinking stages (see below)
+    stage0_rounds: int = 0,
 ) -> jax.Array:
     """k-deep ghost-zone forward (see ``partition.DeepHaloPlan``): ONE halo
     exchange per ``rounds`` processor rounds, each segment running entirely
@@ -197,6 +199,15 @@ def apply_mgn_sharded_deep(
     stays exact for depth - d rounds; edge latents carry locally, hence
     depth = 2k-1 for multi-segment schedules).  Redundant halo compute is
     the price; comm rounds drop mps -> mps/rounds.
+
+    ``stages``: telescoped shrinking tables (``partition.TelescopeStage``
+    built by ``add_deep_halo_plan(telescope=...)``): after ``stage0_rounds``
+    rounds on the main table, each stage gathers the still-relevant nested
+    sub-table (``nremap``/``eremap``) and runs its rounds there — the
+    redundant ghost compute averaged over rounds drops to ~half at zero
+    extra communication.  Each element is a dict of per-shard arrays
+    ``{nremap, eremap, own_pos, senders, receivers, edge_mask, rows, plan,
+    rounds}`` (``plan`` a FusedPlan or None).
     """
     dt = cfg.compute_dtype
     n_p = node_features.shape[0]
@@ -224,33 +235,62 @@ def apply_mgn_sharded_deep(
     n_ext = src.shape[0]
     interpret = jax.default_backend() != "tpu"
 
+    def run_rounds(x, e2, bp_r, n_rounds, snd, rcv, ev, rws, plan):
+        if plan is not None and cfg.fused:
+            from mgn_tpu.ops.fused import fused_process
+
+            return fused_process(
+                bp_r, x, e2, plan, snd, rcv, ev, n_rounds,
+                interpret=interpret, kernel_bwd=cfg.fused_backward,
+                return_edges=True)
+
+        def rnd(c, rp):
+            x2, e3 = c
+            vs = jnp.take(x2, snd, axis=0)
+            vr = jnp.take(x2, rcv, axis=0)
+            msg = apply_mlp_parts(rp["edge_mlp"], (e3, vs, vr), dt) * ev
+            agg = segment_sum(msg, rcv, x2.shape[0], row_offsets=rws,
+                              backend=cfg.aggregation_backend).astype(dt)
+            upd = apply_mlp_parts(rp["node_mlp"], (x2, agg), dt)
+            return (x2 + upd, e3 + msg), None
+
+        (x, e2), _ = jax.lax.scan(rnd, (x, e2), bp_r)
+        return x, e2
+
     def segment(carry, bp):
         v, e = carry
         recv = halo_recv(v)
         tbl = jnp.concatenate(
             [v, recv, jnp.zeros((1, v.shape[1]), v.dtype)], axis=0)
         ext = jnp.take(tbl, src, axis=0)
-        if fused_plan is not None and cfg.fused:
-            from mgn_tpu.ops.fused import fused_process
-
-            ext, e = fused_process(
-                bp, ext, e, fused_plan, senders, receivers, edge_valid,
-                rounds, interpret=interpret, kernel_bwd=cfg.fused_backward,
-                return_edges=True)
-        else:
-            def rnd(c, rp):
-                x, e2 = c
-                vs = jnp.take(x, senders, axis=0)
-                vr = jnp.take(x, receivers, axis=0)
-                msg = apply_mlp_parts(rp["edge_mlp"], (e2, vs, vr), dt)
-                msg = msg * edge_valid
-                agg = segment_sum(msg, receivers, n_ext, row_offsets=rows,
-                                  backend=cfg.aggregation_backend).astype(dt)
-                upd = apply_mlp_parts(rp["node_mlp"], (x, agg), dt)
-                return (x + upd, e2 + msg), None
-
-            (ext, e), _ = jax.lax.scan(rnd, (ext, e), bp)
-        return (jnp.take(ext, own_pos, axis=0), e), None
+        if not stages:
+            ext, e = run_rounds(ext, e, bp, rounds, senders, receivers,
+                                edge_valid, rows, fused_plan)
+            return (jnp.take(ext, own_pos, axis=0), e), None
+        # telescoped: shrink to the still-relevant nested table after each
+        # stage; edge latents live in the stage-0 buffer and are gathered /
+        # scattered through ``eremap`` (pad slots target an out-of-range
+        # index -> fill 0 on gather, dropped on scatter)
+        sl = lambda x, a, r: x[a:a + r]
+        ext, e = run_rounds(
+            ext, e, jax.tree.map(lambda x: sl(x, 0, stage0_rounds), bp),
+            stage0_rounds, senders, receivers, edge_valid, rows, fused_plan)
+        a = stage0_rounds
+        last_own = own_pos
+        for st in stages:
+            r_s = int(st["rounds"])
+            bp_s = jax.tree.map(lambda x: sl(x, a, r_s), bp)
+            ext = jnp.take(ext, st["nremap"], axis=0)
+            e_sub = jnp.take(e, st["eremap"], axis=0, mode="fill",
+                             fill_value=0)
+            ev_s = st["edge_mask"].astype(dt)[:, None]
+            ext, e_sub = run_rounds(ext, e_sub, bp_s, r_s, st["senders"],
+                                    st["receivers"], ev_s, st["rows"],
+                                    st.get("plan"))
+            e = e.at[st["eremap"]].set(e_sub, mode="drop")
+            a += r_s
+            last_own = st["own_pos"]
+        return (jnp.take(ext, last_own, axis=0), e), None
 
     (v, e), _ = jax.lax.scan(segment, (v, e), seg_params)
     out = apply_mlp(params["decoder"], v, dt)

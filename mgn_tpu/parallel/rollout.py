@@ -101,6 +101,15 @@ def sharded_rollout_batch(
         if d.frel_s is not None:
             out.update(deep_frel_s=d.frel_s, deep_frel_r=d.frel_r,
                        deep_fstarts_s=d.fstarts_s, deep_fstarts_r=d.fstarts_r)
+        if d.stages:
+            keys = ("nremap", "eremap", "own_pos", "senders", "receivers",
+                    "edge_mask", "rows")
+            out["deep_stages"] = [
+                {k: getattr(st, k) for k in keys}
+                | ({"frel_s": st.frel_s, "frel_r": st.frel_r,
+                    "fstarts_s": st.fstarts_s, "fstarts_r": st.fstarts_r}
+                   if st.frel_s is not None else {})
+                for st in d.stages]
     return out
 
 
@@ -114,7 +123,8 @@ def BATCH_AXES(axis_name: str, lead=()):  # noqa: N802 — spec-table factory
             "fused_starts_s", "fused_starts_r",
             "deep_src", "deep_own", "deep_serve", "deep_senders",
             "deep_receivers", "deep_edge_mask", "deep_mef", "deep_rows",
-            "deep_frel_s", "deep_frel_r", "deep_fstarts_s", "deep_fstarts_r")
+            "deep_frel_s", "deep_frel_r", "deep_fstarts_s", "deep_fstarts_r",
+            "deep_stages")  # prefix spec covers the whole stage subtree
     return {k: P(*lead, axis_name) for k in keys}
 
 
@@ -143,7 +153,7 @@ def shard_parts(b: Dict[str, Any], model_cfg: MGNConfig,
                  and fused_static is not None and model_cfg.fused)
     deep = None
     if use_deep:
-        rounds, dband_s, dband_r, dchunk = deep_static
+        rounds, dband_s, dband_r, dchunk = deep_static[:4]
         dplan = None
         if "deep_frel_s" in b and dband_s and model_cfg.fused:
             from mgn_tpu.ops.fused import FusedPlan
@@ -156,7 +166,31 @@ def shard_parts(b: Dict[str, Any], model_cfg: MGNConfig,
                 "serve": b["deep_serve"], "senders": b["deep_senders"],
                 "receivers": b["deep_receivers"],
                 "edge_mask": b["deep_edge_mask"], "mef": b["deep_mef"],
-                "rows": b["deep_rows"], "rounds": rounds, "plan": dplan}
+                "rows": b["deep_rows"], "rounds": rounds, "plan": dplan,
+                "stages": None, "stage0_rounds": 0}
+        if len(deep_static) > 4 and "deep_stages" in b:
+            # telescoped shrinking stages (partition.TelescopeStage)
+            stage0_rounds, stage_statics = deep_static[4], deep_static[5]
+            stages_rt = []
+            for st_b, (s_rounds, s_bs, s_br, s_ck, _s_ne) in zip(
+                    b["deep_stages"], stage_statics):
+                sp = None
+                if "frel_s" in st_b and s_bs and model_cfg.fused:
+                    from mgn_tpu.ops.fused import FusedPlan
+
+                    sp = FusedPlan(rel_s=st_b["frel_s"],
+                                   rel_r=st_b["frel_r"],
+                                   starts_s=st_b["fstarts_s"],
+                                   starts_r=st_b["fstarts_r"],
+                                   band_s=s_bs, band_r=s_br, chunk=s_ck)
+                stages_rt.append({
+                    "nremap": st_b["nremap"], "eremap": st_b["eremap"],
+                    "own_pos": st_b["own_pos"], "senders": st_b["senders"],
+                    "receivers": st_b["receivers"],
+                    "edge_mask": st_b["edge_mask"], "rows": st_b["rows"],
+                    "rounds": s_rounds, "plan": sp})
+            deep["stages"] = stages_rt
+            deep["stage0_rounds"] = stage0_rounds
     plan, ext = None, 0
     if use_fused:
         from mgn_tpu.ops.fused import FusedPlan
@@ -227,7 +261,9 @@ def make_shard_deriv(parts, params, norm: NormState, spec: FieldSpec,
                 params, nf, ef_d, model_cfg, axis_name,
                 deep["src"], deep["own"], deep["serve"], deep["senders"],
                 deep["receivers"], deep["edge_mask"], deep["rows"],
-                deep["rounds"], fused_plan=deep["plan"])
+                deep["rounds"], fused_plan=deep["plan"],
+                stages=deep["stages"],
+                stage0_rounds=deep["stage0_rounds"])
         else:
             ef = norm.edge(parts["mef"]) * parts["edge_mask"][:, None]
             out = apply_mgn_sharded(
@@ -299,8 +335,8 @@ def make_sharded_rollout_fn(
     def local_rollout(params, norm: NormState, b: Dict[str, Any],
                       times: jax.Array, forcing_times: jax.Array):
         sq = lambda x: x[0]  # (1, ...) local shard -> (...)
-        bsq = {k: (sq(v) if k != "fields"
-                   else {f: sq(a) for f, a in v.items()})
+        bsq = {k: (sq(v) if k not in ("fields", "deep_stages")
+                   else jax.tree.map(sq, v))
                for k, v in b.items()}
         parts = shard_parts(bsq, model_cfg, types_updated, types_inflow,
                             boundary_start, fused_static, deep_static)

@@ -100,6 +100,9 @@ class SpmdBatch:
     deep_frel_r: Any = None  # (B, P, C, chunk)
     deep_fstarts_s: Any = None  # (B, P, C)
     deep_fstarts_r: Any = None  # (B, P, C)
+    # telescoped shrinking stages (optional; list of per-stage array dicts,
+    # see partition.TelescopeStage — statics ride in deep_static_of)
+    deep_stages: Any = None
 
     def tree(self) -> Dict[str, Any]:
         return {k: v for k, v in dataclasses.asdict(self).items()
@@ -210,16 +213,44 @@ def batch_from_partitioned(
         deep_frel_r=dstack("frel_r") if has_dfused else None,
         deep_fstarts_s=dstack("fstarts_s") if has_dfused else None,
         deep_fstarts_r=dstack("fstarts_r") if has_dfused else None,
+        deep_stages=(_stack_stages(ptemplates)
+                     if has_deep and ptemplates[0].deep.stages else None),
     ), bs, fused_static
+
+
+def _stack_stages(ptemplates):
+    """Stack every trajectory's telescope stage arrays: list (per stage) of
+    dicts of (B, P, ...) arrays.  Shape equality across trajectories is
+    guaranteed by the deep_static_of check above."""
+    n_stages = len(ptemplates[0].deep.stages)
+    keys = ("nremap", "eremap", "own_pos", "senders", "receivers",
+            "edge_mask", "rows")
+    out = []
+    for si in range(n_stages):
+        d = {k: np.stack([getattr(p.deep.stages[si], k) for p in ptemplates])
+             for k in keys}
+        if all(p.deep.stages[si].frel_s is not None for p in ptemplates):
+            for k in ("frel_s", "frel_r", "fstarts_s", "fstarts_r"):
+                d[k] = np.stack([getattr(p.deep.stages[si], k)
+                                 for p in ptemplates])
+        out.append(d)
+    return out
 
 
 def deep_static_of(pt: PartitionedTemplate):
     """Shared static shape tuple of a template's deep plan:
-    ``(rounds, band_s, band_r, chunk)`` (bands 0 => XLA fallback path)."""
+    ``(rounds, band_s, band_r, chunk)`` (bands 0 => XLA fallback path).
+    Telescoped plans append ``(stage0_rounds, per-stage statics)`` where each
+    stage contributes ``(rounds, band_s, band_r, chunk, n_ext)``."""
     d = pt.deep
     if d is None:
         return None
-    return (d.rounds, d.band_s, d.band_r, d.chunk)
+    base = (d.rounds, d.band_s, d.band_r, d.chunk)
+    if not d.stages:
+        return base
+    return base + (d.stage0_rounds,
+                   tuple((s.rounds, s.band_s, s.band_r, s.chunk, s.n_ext)
+                         for s in d.stages))
 
 
 def _partition_frame(p: PartitionedTemplate, frame: np.ndarray) -> np.ndarray:
@@ -269,6 +300,7 @@ _BATCH_AXES = {
     "deep_frel_r": P("data", "graph"),
     "deep_fstarts_s": P("data", "graph"),
     "deep_fstarts_r": P("data", "graph"),
+    "deep_stages": P("data", "graph"),  # prefix spec for the stage subtree
 }
 
 
@@ -285,6 +317,9 @@ def device_put_batch(mesh: Mesh, tree: Dict[str, Any]) -> Dict[str, Any]:
             out[k] = {f: jax.device_put(
                 a, NamedSharding(mesh, P("data", "graph")))
                 for f, a in v.items()}
+        elif k == "deep_stages":
+            out[k] = jax.tree.map(lambda a: jax.device_put(
+                a, NamedSharding(mesh, P("data", "graph"))), v)
         else:
             out[k] = jax.device_put(v, NamedSharding(mesh, _BATCH_AXES[k]))
     return out
@@ -422,7 +457,8 @@ def make_spmd_derivative_step(
                         deep["src"], deep["own"], deep["serve"],
                         deep["senders"], deep["receivers"],
                         deep["edge_mask"], deep["rows"], deep["rounds"],
-                        fused_plan=deep["plan"])
+                        fused_plan=deep["plan"], stages=deep["stages"],
+                        stage0_rounds=deep["stage0_rounds"])
                 else:
                     ef = (norm.edge(parts["mef"])
                           * parts["edge_mask"][:, None])
@@ -450,8 +486,9 @@ def make_spmd_derivative_step(
                 return (jnp.sum(jnp.sum((out - target) ** 2, -1) * m),
                         jnp.sum(m))
 
-            vm_args = {k: sq(batch[k]) for k in batch
-                       if k not in ("fields", "times")}
+            vm_args = {k: (jax.tree.map(sq, batch[k])
+                           if k == "deep_stages" else sq(batch[k]))
+                       for k in batch if k not in ("fields", "times")}
             vm_args["u"] = u
             vm_args["tgt"] = targets_raw
 
@@ -566,8 +603,8 @@ def make_spmd_solver_step(
         del key  # solver strategies are noise-free (reference adds none)
         bl = batch["node_type"].shape[0]
         sq = lambda x: x[:, 0]  # (Bl, 1, ...) -> (Bl, ...)
-        bsq = {k: (sq(v) if k != "fields"
-                   else {f: sq(a) for f, a in v.items()})
+        bsq = {k: (sq(v) if k not in ("fields", "deep_stages")
+                   else jax.tree.map(sq, v))
                for k, v in batch.items() if k != "times"}
         times = batch["times"]  # (Bl, T)
 

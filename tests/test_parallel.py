@@ -913,6 +913,103 @@ def test_deep_halo_forward_matches_single_device(fused, k):
     assert err < 5e-3, err
 
 
+@pytest.mark.parametrize("fused,k,telescope", [
+    (False, 4, (2, 2)), (False, 4, (1, 1, 1, 1)), (False, 2, (1, 1)),
+    (True, 4, (2, 2)), (True, 4, (2, 1, 1))])
+def test_deep_halo_telescope_matches_single_device(fused, k, telescope):
+    """Telescoped deep segments (shrinking nested tables after each stage,
+    partition.TelescopeStage) == the single-device forward: the ghost-zone
+    exactness argument applies per stage with the reduced depth, for both
+    single-segment (k=mps) and multi-segment (depth 2k-1) schedules, with
+    edge latents gathered/scattered through the stage-0 buffer."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mgn_tpu.ops.fused import FusedPlan
+    from mgn_tpu.parallel.halo import apply_mgn_sharded_deep
+    from mgn_tpu.parallel.partition import add_deep_halo_plan
+
+    mps = 4
+    pos, cells, nt, s, r, n, nf_real, nfp_full, pt, t = _deep_setup(mps)
+    cfg = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                    latent_size=16, hidden_layers=1,
+                    message_passing_steps=mps, aggregation_backend="xla",
+                    fused=fused)
+    params = init_mgn(jax.random.PRNGKey(0), cfg)
+    cfg_ref = MGNConfig(node_input_dim=9, edge_input_dim=3, output_dim=2,
+                        latent_size=16, hidden_layers=1,
+                        message_passing_steps=mps, aggregation_backend="xla")
+    g = MeshGraph(node_features=jnp.asarray(nfp_full),
+                  edge_features=t.mesh_edge_features,
+                  senders=t.senders, receivers=t.receivers,
+                  node_mask=t.node_mask, edge_mask=t.edge_mask)
+    ref = np.asarray(apply_mgn(params, g, cfg_ref))[:n]
+
+    gids = _global_ids(pt, n)
+    nfp = np.zeros((pt.num_parts * pt.part_nodes, 9), np.float32)
+    nfp[gids] = nf_real
+    nfp = nfp.reshape(pt.num_parts, pt.part_nodes, 9)
+    dp = add_deep_halo_plan(pt, pos, s, r, k, mps, build_fused=fused,
+                            telescope=telescope)
+    assert dp.stages is not None and len(dp.stages) == len(telescope) - 1
+    for st in dp.stages:  # tables must actually shrink
+        assert st.n_ext <= dp.n_ext
+    has_plan = fused and dp.frel_s is not None
+
+    stage_keys = ("nremap", "eremap", "own_pos", "senders", "receivers",
+                  "edge_mask", "rows")
+    stg_dev = []
+    for st in dp.stages:
+        d = {kk: jnp.asarray(getattr(st, kk)) for kk in stage_keys}
+        if fused and st.frel_s is not None:
+            d.update(frel_s=jnp.asarray(st.frel_s),
+                     frel_r=jnp.asarray(st.frel_r),
+                     fstarts_s=jnp.asarray(st.fstarts_s),
+                     fstarts_r=jnp.asarray(st.fstarts_r))
+        stg_dev.append(d)
+    mesh = make_device_mesh(1, 4)
+
+    def f(nf_s, src, own, serve, snd, rcv, em, rows, frs, frr, fss, fsr,
+          mef, stg):
+        plan = None
+        if has_plan:
+            plan = FusedPlan(rel_s=frs[0], rel_r=frr[0], starts_s=fss[0],
+                             starts_r=fsr[0], band_s=dp.band_s,
+                             band_r=dp.band_r, chunk=dp.chunk)
+        stages_rt = []
+        for st_host, st_d in zip(dp.stages, stg):
+            d = {kk: v[0] for kk, v in st_d.items()
+                 if not kk.startswith(("frel", "fstarts"))}
+            sp = None
+            if "frel_s" in st_d:
+                sp = FusedPlan(rel_s=st_d["frel_s"][0],
+                               rel_r=st_d["frel_r"][0],
+                               starts_s=st_d["fstarts_s"][0],
+                               starts_r=st_d["fstarts_r"][0],
+                               band_s=st_host.band_s, band_r=st_host.band_r,
+                               chunk=st_host.chunk)
+            d.update(rounds=st_host.rounds, plan=sp)
+            stages_rt.append(d)
+        out = apply_mgn_sharded_deep(
+            params, nf_s[0], mef[0], cfg, "graph", src[0], own[0], serve[0],
+            snd[0], rcv[0], em[0], rows[0], k, fused_plan=plan,
+            stages=stages_rt, stage0_rounds=dp.stage0_rounds)
+        return out[None]
+
+    z = np.zeros((4, 1), np.float32)
+    args = [jnp.asarray(x) for x in (
+        nfp, dp.src, dp.own_pos, dp.serve, dp.senders, dp.receivers,
+        dp.edge_mask, dp.rows,
+        dp.frel_s if has_plan else z, dp.frel_r if has_plan else z,
+        dp.fstarts_s if has_plan else z, dp.fstarts_r if has_plan else z,
+        dp.mef)]
+    fn = shard_map(f, mesh=mesh,
+                   in_specs=(P("graph"),) * 13 + (P("graph"),),
+                   out_specs=P("graph"), check_vma=False)
+    out = np.asarray(fn(*args, stg_dev)).reshape(-1, 2)
+    err = np.abs(out[gids] - ref).max()
+    assert err < 5e-3, err
+
+
 def test_deep_halo_comm_volume():
     """Comm accounting of the k-deep plan (the recorded delta of round-3
     verdict item 2): exchange ROUNDS per forward drop mps -> mps/k — the
