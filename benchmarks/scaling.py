@@ -126,15 +126,49 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    # ---- partition quality: FM refinement vs raw bisection ----------------
+    # (round-5 verdict item 3a) — records the measured cut / 1-ring halo /
+    # deep ghost-ratio deltas; refinement is the partition_template default
+    from mgn_tpu.parallel.partition import (add_deep_halo_plan as _adhp5,
+                                            bisect_partition,
+                                            refine_partition)
+
+    part_quality = {}
+    for p_count in [p for p in (2, 4, 8) if p <= n_dev]:
+        row = {}
+        for label, refine in (("bisection", False), ("refined", True)):
+            part = bisect_partition(pos, p_count)
+            if refine:
+                part = refine_partition(part, s, r, p_count)
+            cut = int((part[s] != part[r]).sum())
+            ptq = partition_template(pos, node_type, s, r, p_count,
+                                     spatial_order=True, refine=refine)
+            ptq = add_halo_plan(ptq)
+            dq = _adhp5(ptq, pos, s, r, mps, mps, build_fused=False)
+            row[label] = {
+                "cut_edges": cut, "halo_1ring": ptq.halo_size,
+                "deep_halo": dq.halo_size,
+                "ghost_ratio": round(float(dq.edge_mask.sum(1).max())
+                                     / max(int(ptq.edge_mask.sum(1).max()),
+                                           1), 4)}
+        row["cut_reduction"] = round(
+            1 - row["refined"]["cut_edges"] / row["bisection"]["cut_edges"],
+            3)
+        part_quality[f"P{p_count}"] = row
+        print(json.dumps({f"part_quality_P{p_count}": row}), flush=True)
+
     # ---- ICI-bandwidth roofline (round-4 verdict item 5) -------------------
     # Real multi-chip is unavailable in this environment, so predict the
     # multi-chip edges/s efficiency from (a) the MEASURED single-chip fused
     # throughput, (b) the exact per-P comm volumes of the halo plans built
     # above, and (c) public v5e interconnect figures.  Assumptions recorded
-    # in the artifact; both exchange schedules modeled:
+    # in the artifact; schedules modeled:
     #   per-round: mps exchanges of the 1-ring halo each forward,
     #   deep k=mps: ONE exchange of the mps-deep halo + redundant ghost
-    #   compute (n_ext/n_p per chip).
+    #   compute (extended edge-table ratio),
+    #   deep k=mps telescoped: same single exchange, rounds after each stage
+    #   run on shrinking nested tables (partition.TelescopeStage), so the
+    #   per-round ghost compute is the stage-weighted average.
     from mgn_tpu.parallel.partition import add_deep_halo_plan
 
     eps_chip = float(os.environ.get("MGN_EPS_CHIP", 287.6e6))  # BENCH_r03
@@ -142,12 +176,18 @@ def main():
     lat_us = float(os.environ.get("MGN_ICI_LAT_US", 5.0))  # per collective
     bpf = 2  # bf16 latent bytes
     # measured (1,1) sharding-machinery overhead per schedule, read from the
-    # SPMD_r{NN}.json measurement when present (the per-round path measured
+    # SPMD_r{NN}.json measurements when present (the per-round path measured
     # 2.5x the unsharded step in r03 — launches + per-round glue; the deep
     # schedule exists to delete that tax): the roofline must charge each
-    # schedule its own measured glue, not assume free sharding
+    # schedule its own measured glue, not assume free sharding.
+    # Round-5 upgrade: the deep glue is largely FIXED per-forward cost
+    # (launch + exchange glue), not proportional to mesh size — so when the
+    # r05 (1,1) size sweep (SPMD_r05{,n4096,n8192}.json) is present, fit
+    # glue_abs(nodes) = c0 + c1*nodes per step and charge the ABSOLUTE
+    # overhead at N/P instead of a multiplicative factor measured at 1.9k
+    # nodes (which over-charges big meshes ~20x).
     glue = {"per_round": 2.5, "deep": None, "glue_source": "r03 default"}
-    for rnd_try in ("r04", "r03"):
+    for rnd_try in ("r05", "r04", "r03"):
         p = os.path.join(_HERE, "results", f"SPMD_{rnd_try}.json")
         if os.path.exists(p):
             with open(p) as fh:
@@ -157,7 +197,8 @@ def main():
             pr_ms = sp.get("spmd_mesh11", {}).get("fused_rounds", {}).get(
                 "ms_per_step")
             dk = min((v for k_, v in sp.get("spmd_mesh11", {}).items()
-                      if k_.startswith("deep_k") and "ms_per_step" in v),
+                      if k_.startswith("deep_k") and "tel" not in k_
+                      and "ms_per_step" in v),
                      key=lambda v: v["ms_per_step"], default=None)
             if base_ms and pr_ms:
                 glue = {"per_round": round(pr_ms / base_ms, 3),
@@ -166,22 +207,76 @@ def main():
                         "glue_source": p}
                 break
     deep_glue = glue["deep"] if glue["deep"] else 1.0
+
+    # absolute-glue fit from the (1,1) size sweep: per-N (deep - unsharded)
+    # ms and per-stage telescoping overhead ms
+    pts_glue, pts_stage = [], []
+    for suffix in ("r05", "r05n4096", "r05n8192"):
+        p = os.path.join(_HERE, "results", f"SPMD_{suffix}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as fh:
+            sp = json.load(fh)
+        nodes_m = sp.get("mesh", {}).get("nodes")
+        base_ms = sp.get("unsharded", {}).get("fused", {}).get("ms_per_step")
+        dms = min((v["ms_per_step"] for k_, v in
+                   sp.get("spmd_mesh11", {}).items()
+                   if k_.startswith("deep_k15") and "tel" not in k_
+                   and "ms_per_step" in v), default=None)
+        tel = sp.get("spmd_mesh11", {}).get("deep_k15_c1024_tel3", {})
+        if nodes_m and base_ms and dms:
+            pts_glue.append((nodes_m, max(dms - base_ms, 0.0)))
+            if "ms_per_step" in tel:
+                pts_stage.append(
+                    (nodes_m, max(tel["ms_per_step"] - dms, 0.0) / 2))
+    glue_fit = stage_fit = None
+    if len(pts_glue) >= 2:
+        xs_, ys_ = zip(*pts_glue)
+        c1, c0 = np.polyfit(xs_, ys_, 1)
+        glue_fit = (float(max(c0, 0.0)), float(max(c1, 0.0)))
+    if len(pts_stage) >= 2:
+        xs_, ys_ = zip(*pts_stage)
+        c1, c0 = np.polyfit(xs_, ys_, 1)
+        stage_fit = (float(max(c0, 0.0)), float(max(c1, 0.0)))
+
+    def glue_time_s(nodes_per_chip, t_comp_ideal):
+        """Deep-schedule sharding overhead in seconds for one forward."""
+        if glue_fit is not None:
+            return (glue_fit[0] + glue_fit[1] * nodes_per_chip) * 1e-3
+        return t_comp_ideal * (deep_glue - 1.0)
+
+    def stage_time_s(nodes_per_chip, n_extra_stages, t_comp_ideal):
+        if stage_fit is not None:
+            return (stage_fit[0]
+                    + stage_fit[1] * nodes_per_chip) * 1e-3 * n_extra_stages
+        # fall back: charge each extra stage like ~1/3 of the deep glue
+        return glue_time_s(nodes_per_chip, t_comp_ideal) / 3 * n_extra_stages
+
     roofline = {"assumptions": {
         "measured_single_chip_edges_per_s": eps_chip,
         "ici_effective_GBps_per_chip": ici_gbs,
         "per_collective_latency_us": lat_us,
         "measured_mesh11_glue_factor": glue,
-        "note": ("efficiency = ideal_compute / (glue*compute + exposed "
-                 "comm); overlap column assumes perfect comm/compute "
-                 "overlap (max instead of sum).  Deep schedule pays "
-                 "redundant ghost compute (edge table ratio) but a single "
-                 "exchange; per-round pays its measured per-round "
-                 "launch/glue tax.")}}
+        "glue_abs_fit_ms_per_forward": glue_fit,
+        "stage_abs_fit_ms_per_stage": stage_fit,
+        "glue_fit_points": pts_glue,
+        "stage_fit_points": pts_stage,
+        "note": ("efficiency = ideal_compute / (compute*ghost + glue + "
+                 "stage_overhead + exposed comm); overlap column assumes "
+                 "perfect comm/compute overlap (max instead of sum).  Deep "
+                 "schedules pay redundant ghost compute (edge-table ratio; "
+                 "telescoping averages it over shrinking stages) and a "
+                 "single exchange; per-round pays its measured per-round "
+                 "launch/glue tax.  Glue charged as measured ABSOLUTE "
+                 "ms/forward fitted over the (1,1) size sweep when "
+                 "available, else the multiplicative (1,1) factor.")}}
     preds = []
+    tel_split = (1,) * mps  # every-round stages: yields E(depth) for all a
     for p_count in [p for p in (2, 4, 8) if p <= n_dev]:
         pt = add_halo_plan(partition_template(pos, node_type, s, r, p_count,
                                               spatial_order=True))
         t_comp_ideal = (e / p_count) * mps / eps_chip
+        n_per_chip = n / p_count
         # per-round schedule (charged its measured (1,1) glue tax)
         bytes_ex = (p_count - 1) * pt.halo_size * latent * bpf
         t_comm = mps * (bytes_ex / (ici_gbs * 1e9) + lat_us * 1e-6)
@@ -195,24 +290,70 @@ def main():
                  "eff_full_overlap": round(
                      t_comp_ideal / max(t_comp_pr, t_comm), 3)}
         preds.append(rec_p)
-        # deep k=mps schedule (glue measured once SPMD_r04 lands; 1.0 until)
-        dp = add_deep_halo_plan(pt, pos, s, r, mps, mps, build_fused=False)
-        redun = dp.edge_mask.sum(1).max() / max(pt.edge_mask.sum(1).max(), 1)
-        t_comp_d = t_comp_ideal * float(redun) * deep_glue
+        print(json.dumps(rec_p), flush=True)
+        # deep k=mps schedule, single table
+        dp = add_deep_halo_plan(pt, pos, s, r, mps, mps, build_fused=False,
+                                telescope=tel_split)
+        e_own = max(int(pt.edge_mask.sum(1).max()), 1)
+        redun = float(dp.edge_mask.sum(1).max()) / e_own
         bytes_d = (p_count - 1) * dp.halo_size * latent * bpf
         t_comm_d = bytes_d / (ici_gbs * 1e9) + lat_us * 1e-6
+        t_glue = glue_time_s(n_per_chip, t_comp_ideal)
+        t_comp_d = t_comp_ideal * redun
         preds.append({
             "schedule": f"deep_k{mps}", "devices": p_count,
             "halo": dp.halo_size, "exchanges": 1,
             "bytes_per_forward": bytes_d,
-            "ghost_compute_ratio": round(float(redun), 3),
-            "glue_factor": deep_glue,
+            "ghost_compute_ratio": round(redun, 3),
+            "glue_ms": round(t_glue * 1e3, 3),
             "eff_no_overlap": round(
-                t_comp_ideal / (t_comp_d + t_comm_d), 3),
+                t_comp_ideal / (t_comp_d + t_glue + t_comm_d), 3),
             "eff_full_overlap": round(
-                t_comp_ideal / max(t_comp_d, t_comm_d), 3)})
-        print(json.dumps(preds[-2]), flush=True)
+                t_comp_ideal / max(t_comp_d + t_glue, t_comm_d), 3)})
         print(json.dumps(preds[-1]), flush=True)
+        # telescoped deep schedule: ghost compute averaged over shrinking
+        # stages.  One (1,)*mps build yields the per-depth edge-table sizes
+        # E(depth); every candidate split is then evaluated analytically and
+        # the roofline records the best (finer splits shrink ghost compute
+        # but pay one stage overhead each — the measured stage_fit sets the
+        # break-even).
+        if tel_split is not None and dp.stages is not None:
+            # e_by_start[a] = edge-table size for a stage starting after a
+            # rounds (table depth = depth - a); a=0 is the main table
+            e_by_start = [int(dp.edge_mask.sum(1).max())] + [
+                int(st.edge_mask.sum(1).max()) for st in dp.stages]
+            candidates = [c for c in (
+                (5, 5, 5), (3, 3, 3, 3, 3), (2,) * (mps // 2) + (1,) * (mps % 2),
+                (1,) * mps, (8, 4, 3), (4, 4, 4, 3))
+                if sum(c) == mps]
+            best_tel = None
+            for cand in candidates:
+                a, num = 0, 0.0
+                for r_ in cand:
+                    num += r_ * e_by_start[a]
+                    a += r_
+                redun_avg = num / (mps * e_own)
+                t_stage = stage_time_s(n_per_chip, len(cand) - 1,
+                                       t_comp_ideal)
+                t_comp_t = t_comp_ideal * redun_avg
+                eff = t_comp_ideal / (t_comp_t + t_glue + t_stage + t_comm_d)
+                if best_tel is None or eff > best_tel[0]:
+                    best_tel = (eff, cand, redun_avg, t_stage, t_comp_t)
+            eff, cand, redun_avg, t_stage, t_comp_t = best_tel
+            preds.append({
+                "schedule": f"deep_k{mps}_tel{len(cand)}",
+                "telescope": list(cand),
+                "devices": p_count,
+                "halo": dp.halo_size, "exchanges": 1,
+                "bytes_per_forward": bytes_d,
+                "ghost_compute_ratio": round(redun_avg, 3),
+                "glue_ms": round(t_glue * 1e3, 3),
+                "stage_overhead_ms": round(t_stage * 1e3, 3),
+                "eff_no_overlap": round(eff, 3),
+                "eff_full_overlap": round(
+                    t_comp_ideal / max(t_comp_t + t_glue + t_stage,
+                                       t_comm_d), 3)})
+            print(json.dumps(preds[-1]), flush=True)
     best = {}
     for rec in preds:
         d = rec["devices"]
@@ -239,6 +380,7 @@ def main():
     path = os.path.join(out_dir, f"SCALING_{suffix}.json")
     with open(path, "w") as fh:
         json.dump({"summary": summary, "records": results,
+                   "partition_quality": part_quality,
                    "roofline": roofline | {"predictions": preds}}, fh,
                   indent=1)
     print("wrote", path, flush=True)

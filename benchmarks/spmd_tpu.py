@@ -203,13 +203,20 @@ def main():
 
         pt_sp = partition_template(pos, node_type, s, r, 1,
                                    spatial_order=True)
-        deep_cases = [(MPS, 512), (MPS, 1024)]
+        deep_cases = [(MPS, 512, None), (MPS, 1024, None)]
         if MPS % 5 == 0 and MPS != 5:
-            deep_cases.append((5, 512))
-        for k, ch in deep_cases:
-            name = f"deep_k{k}" + ("" if ch == 512 else f"_c{ch}")
+            deep_cases.append((5, 512, None))
+        if MPS == 15:
+            # telescoped stages at P=1 have NO ghost to shrink — the delta
+            # vs deep_k15 isolates the pure stage overhead (extra launches +
+            # remap gathers), the quantity the scaling roofline charges
+            deep_cases.append((MPS, 1024, (5, 5, 5)))
+        for k, ch, tel in deep_cases:
+            name = (f"deep_k{k}" + ("" if ch == 512 else f"_c{ch}")
+                    + ("" if tel is None else f"_tel{len(tel)}"))
             try:
-                dp = add_deep_halo_plan(pt_sp, pos, s, r, k, MPS, chunk=ch)
+                dp = add_deep_halo_plan(pt_sp, pos, s, r, k, MPS, chunk=ch,
+                                        telescope=tel)
             except ValueError as ex:
                 spmd[name] = {"error": str(ex)[:200]}
                 continue

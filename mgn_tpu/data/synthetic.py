@@ -291,8 +291,13 @@ def airfoil_meta(tl: int, n_train: int, n_valid: int, dt: float = 0.008):
 
 def write_airfoil_dataset(path: str, num_nodes: int = 256, tl: int = 20,
                           n_train: int = 2, n_valid: int = 1, n_test: int = 1,
-                          dt: float = 0.008, seed: int = 0):
-    """Airfoil-shaped synthetic dataset: multi-target (velocity + density)."""
+                          dt: float = 0.008, seed: int = 0,
+                          speed: Optional[float] = None):
+    """Airfoil-shaped synthetic dataset: multi-target (velocity + density).
+
+    Pass a fixed ``speed`` for convergence studies (Markovian dynamics,
+    trajectories then differ by their random phase — see
+    :func:`make_trajectory`)."""
     os.makedirs(path, exist_ok=True)
     pos, cells, node_type = make_channel_mesh(num_nodes, seed)
     meta = airfoil_meta(tl, n_train, n_valid, dt)
@@ -303,7 +308,8 @@ def write_airfoil_dataset(path: str, num_nodes: int = 256, tl: int = 20,
         with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
             for i in range(n):
                 g = f.create_group(str(i))
-                vel = make_trajectory(pos, node_type, tl, dt, seed + 300 + k)
+                vel = make_trajectory(pos, node_type, tl, dt, seed + 300 + k,
+                                      speed=speed)
                 g["cells"] = cells
                 g["mesh_pos"] = pos
                 g["node_type"] = node_type[:, None]
@@ -342,9 +348,24 @@ def plate_meta(tl: int, n_train: int, n_valid: int, dt: float = 1.0,
 
 def write_plate_dataset(path: str, dims=(4, 4, 3), tl: int = 10,
                         n_train: int = 2, n_valid: int = 1, n_test: int = 1,
-                        seed: int = 0):
-    """DeformingPlate-shaped synthetic dataset: 3-D grid mesh, quasi-static
-    deformation + stress output head; node type 3 = actuated handle."""
+                        seed: int = 0, dt: float = 1.0, tau: float = 4.0):
+    """DeformingPlate-shaped synthetic dataset: 3-D grid mesh, damped
+    relaxation of a deformed solid + stress output head; node type 3 = held
+    handle (top layer), 6 = clamped base.
+
+    Dynamics (round-5 redesign — the old linear-in-t quasi-static push was
+    NOT Markovian in the state: du/dt depended on the unobservable time):
+    each trajectory starts from a random smooth displacement field and
+    relaxes exponentially toward a fixed equilibrium,
+
+        disp(t) = eq + (disp0 - eq) * exp(-t*dt/tau)
+        => d disp/dt = (eq - disp) / tau        (function of the STATE)
+
+    with ``eq`` a fixed geometry-determined sag (learnable from mesh_pos)
+    and stress the instantaneous elastic magnitude ``|disp - eq|``-based
+    field (an absolute output head, not a derivative).  Handle and clamped
+    nodes stay at their initial positions.
+    """
     os.makedirs(path, exist_ok=True)
     dims = tuple(int(d) for d in dims)
     n = int(np.prod(dims))
@@ -353,27 +374,43 @@ def write_plate_dataset(path: str, dims=(4, 4, 3), tl: int = 10,
                                 indexing="ij"), -1).reshape(-1, 3, order="F")
     pos = grid.astype(np.float32)
     node_type = np.zeros(n, np.int32)
-    node_type[pos[:, 2] > 0.99] = 3  # top layer actuated
+    node_type[pos[:, 2] > 0.99] = 3  # top layer: held handle
     node_type[pos[:, 2] < 0.01] = 6  # bottom clamped
-    meta = plate_meta(tl, n_train, n_valid, dims=dims)
+    free = node_type == 0
+    meta = plate_meta(tl, n_train, n_valid, dt=dt, dims=dims)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     rng = np.random.default_rng(seed)
+    # fixed equilibrium sag: interior bows toward -z, zero at held layers
+    shape_fn = (np.sin(np.pi * pos[:, 2]) * (1 - 0.4 * pos[:, 0])
+                * (1 - 0.2 * pos[:, 1]))
+    eq = np.zeros((n, 3), np.float32)
+    eq[:, 2] = -0.15 * shape_fn
+    eq[~free] = 0.0
     k = 0
     for split, cnt in (("train", n_train), ("valid", n_valid), ("test", n_test)):
         with h5py.File(os.path.join(path, f"{split}.h5"), "w") as f:
             for i in range(cnt):
                 g = f.create_group(str(i))
-                push = 0.1 + 0.2 * rng.random()
-                t = np.linspace(0, 1, tl)[:, None, None]
-                disp = -push * t * pos[None, :, 2:3] * (
-                    1 - 0.5 * pos[None, :, 0:1])
-                world = pos[None] + np.concatenate(
-                    [np.zeros_like(disp), np.zeros_like(disp), disp], -1)
-                stress = (push * t * (1 - pos[None, :, 2:3])).astype(np.float32)
+                # random smooth initial displacement (few low-freq modes)
+                r = rng.standard_normal(6) * 0.08
+                disp0 = np.zeros((n, 3), np.float32)
+                for ax in range(3):
+                    disp0[:, ax] = (
+                        r[ax] * np.sin(np.pi * pos[:, 2])
+                        * np.sin(np.pi * pos[:, 0])
+                        + r[3 + ax] * np.sin(np.pi * pos[:, 2])
+                        * np.cos(np.pi * pos[:, 1])) * 0.5
+                disp0[~free] = 0.0
+                t = (np.arange(tl, dtype=np.float32) * dt)[:, None, None]
+                decay = np.exp(-t / tau)
+                disp = eq[None] + (disp0 - eq)[None] * decay
+                world = pos[None] + disp
+                stress = np.linalg.norm(disp - eq[None], axis=-1) \
+                    + 0.5 * np.abs(disp[..., 2])
                 g["mesh_pos"] = pos
                 g["node_type"] = node_type[:, None]
                 g["world_pos"] = world.astype(np.float32)
-                g["stress"] = stress[..., 0]
+                g["stress"] = stress.astype(np.float32)
                 k += 1
     return meta
