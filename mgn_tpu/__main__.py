@@ -49,6 +49,10 @@ def main(argv=None):
                    help="processor rounds per halo exchange under graph "
                         "parallelism (k-deep ghost zones; default mps = one "
                         "exchange per forward, 0 = classic per-round)")
+    t.add_argument("--telescope-stages", type=int, default=None,
+                   help="shrinking telescope stages per deep segment "
+                        "(cuts redundant ghost compute ~in half at zero "
+                        "extra communication; default none)")
     t.add_argument("--strategy", default="derivative",
                    choices=["derivative", "solver", "shooting"])
     t.add_argument("--tstart", type=float, default=0.0)
@@ -70,6 +74,9 @@ def main(argv=None):
                         "roll out sharded (parallel/rollout.py)")
     e.add_argument("--halo-rounds", type=int, default=None,
                    help="processor rounds per halo exchange (see train)")
+    e.add_argument("--telescope-stages", type=int, default=None,
+                   help="shrinking telescope stages per deep segment "
+                        "(see train)")
     _add_common(e)
 
     x = sub.add_parser("export")
@@ -84,6 +91,10 @@ def main(argv=None):
                    help="test-split trajectory whose mesh topology to bake")
     x.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (default: current backend)")
+    x.add_argument("--graph-parallel", type=int, default=1,
+                   help="export the SHARDED (shard_map) rollout over this "
+                        "many devices; the artifact requires the same "
+                        "device count at the deployment site")
     _add_common(x)
 
     s = sub.add_parser("synth")
@@ -160,10 +171,19 @@ def main(argv=None):
         ds = load_dataset(args.ds_path, is_training=False)
         tr = ds.trajectory(args.trajectory)
         num_steps = args.num_steps or len(tr.times)
-        blob = export_simulator(
-            args.ds_path, args.cp_path, tr.mesh_pos, tr.node_type,
-            num_steps=num_steps, cells=tr.cells, edges=tr.edges,
-            solver=args.solver, platforms=args.platforms, **common)
+        if args.graph_parallel > 1:
+            from mgn_tpu.serve import export_sharded_simulator
+
+            blob = export_sharded_simulator(
+                args.ds_path, args.cp_path, tr.mesh_pos, tr.node_type,
+                num_steps=num_steps, cells=tr.cells, edges=tr.edges,
+                solver=args.solver, graph_parallel=args.graph_parallel,
+                platforms=args.platforms, **common)
+        else:
+            blob = export_simulator(
+                args.ds_path, args.cp_path, tr.mesh_pos, tr.node_type,
+                num_steps=num_steps, cells=tr.cells, edges=tr.edges,
+                solver=args.solver, platforms=args.platforms, **common)
         with open(args.out_file, "wb") as fh:
             fh.write(blob)
         print(f"wrote {len(blob)} bytes to {args.out_file} "
@@ -183,6 +203,7 @@ def main(argv=None):
                       norm_steps=args.norm_steps, batchsize=args.batchsize,
                       graph_parallel=args.graph_parallel,
                       halo_rounds=args.halo_rounds,
+                      telescope_stages=args.telescope_stages,
                       metrics=log, **common)
     else:
         eval_network(args.ds_path, args.cp_path, args.out_path,
@@ -190,6 +211,7 @@ def main(argv=None):
                      num_rollouts=args.num_rollouts,
                      graph_parallel=args.graph_parallel,
                      halo_rounds=args.halo_rounds,
+                     telescope_stages=args.telescope_stages,
                      mse_steps=tuple(args.mse_steps), metrics=log, **common)
 
 

@@ -332,6 +332,17 @@ class _GraphPlanner:
         if self.deep_rounds and self.mps % self.deep_rounds:
             raise ValueError(
                 f"halo_rounds {self.deep_rounds} must divide mps {self.mps}")
+        # telescoped deep segments (Args.telescope_stages): split the
+        # segment's rounds into S near-equal shrinking stages
+        ts = args.telescope_stages
+        self.telescope = None
+        if self.deep_rounds and ts and ts > 1:
+            S = min(int(ts), self.deep_rounds)
+            base, rem = divmod(self.deep_rounds, S)
+            self.telescope = tuple(base + (1 if i < rem else 0)
+                                   for i in range(S))
+        self.d_stage_caps = None  # per-stage [n_ext, e_ext, band_s, band_r]
+        self.d_stage_fused = True
         self._add_deep_halo_plan = add_deep_halo_plan
         # the per-round fused kernel (parallel/halo.py) wants spatially
         # ordered parts, chunk-aligned edge buckets / boundary tails, and a
@@ -428,10 +439,17 @@ class _GraphPlanner:
         for pt, (pos, s, r) in parts_aux:
             dp = self._add_deep_halo_plan(
                 pt, pos, s, r, self.deep_rounds, self.mps,
-                chunk=self.bucket_m, build_fused=False)
+                chunk=self.bucket_m, build_fused=False,
+                telescope=self.telescope)
             self.d_halo = max(self.d_halo, dp.halo_size)
             self.d_ebucket = max(self.d_ebucket, dp.senders.shape[1])
             self.d_next = max(self.d_next, dp.n_ext)
+            if dp.stages:
+                if self.d_stage_caps is None:
+                    self.d_stage_caps = [[0, 0, 0, 0] for _ in dp.stages]
+                for caps, st in zip(self.d_stage_caps, dp.stages):
+                    caps[0] = max(caps[0], st.n_ext)
+                    caps[1] = max(caps[1], st.senders.shape[1])
         if not self.try_deep_fused:
             return
         # same VMEM-fit gate as the single-device fused path: oversized
@@ -452,7 +470,9 @@ class _GraphPlanner:
                     pt, pos, s, r, self.deep_rounds, self.mps,
                     chunk=self.bucket_m, force_halo_size=self.d_halo,
                     force_edge_bucket=self.d_ebucket,
-                    force_n_ext=self.d_next, build_fused=True)
+                    force_n_ext=self.d_next, build_fused=True,
+                    telescope=self.telescope,
+                    force_stages=self._force_stages(bands=False))
             except ValueError:
                 dp = None
             if dp is None or dp.frel_s is None:
@@ -461,6 +481,26 @@ class _GraphPlanner:
                 return
             self.d_band_s = max(self.d_band_s or 0, dp.band_s)
             self.d_band_r = max(self.d_band_r or 0, dp.band_r)
+            if dp.stages:
+                for caps, st in zip(self.d_stage_caps, dp.stages):
+                    if st.frel_s is None:
+                        # one stage's bands blew the caps: strip stage fused
+                        # plans everywhere so statics stay uniform (stages
+                        # then run the XLA path; segment stage 0 stays fused)
+                        self.d_stage_fused = False
+                    else:
+                        caps[2] = max(caps[2], st.band_s)
+                        caps[3] = max(caps[3], st.band_r)
+
+    def _force_stages(self, bands=True):
+        """force_stages tuple for add_deep_halo_plan from the merged caps."""
+        if self.d_stage_caps is None:
+            return None
+        return tuple(
+            (c[0], c[1],
+             c[2] if bands and self.d_stage_fused and c[2] else None,
+             c[3] if bands and self.d_stage_fused and c[3] else None)
+            for c in self.d_stage_caps)
 
     def _plan_part(self, pt, aux):
         if self.deep_rounds:
@@ -470,7 +510,9 @@ class _GraphPlanner:
                 chunk=self.bucket_m, force_halo_size=self.d_halo,
                 force_edge_bucket=self.d_ebucket, force_n_ext=self.d_next,
                 force_band_s=self.d_band_s, force_band_r=self.d_band_r,
-                build_fused=self.try_deep_fused)
+                build_fused=self.try_deep_fused,
+                telescope=self.telescope,
+                force_stages=self._force_stages())
             if self.try_deep_fused and dp.frel_s is None:
                 # forced bands narrower than this trajectory needs: treat as
                 # a capacity overflow so get() regrows instead of shipping a
@@ -478,6 +520,14 @@ class _GraphPlanner:
                 raise ValueError("deep fused bands exceed forced widths")
             import dataclasses as _dc
 
+            if dp.stages and not self.d_stage_fused:
+                # stage fused plans stripped (see _fit_deep): statics stay
+                # uniform, telescoped stages run the XLA path
+                dp = _dc.replace(dp, stages=[
+                    _dc.replace(st, frel_s=None, frel_r=None,
+                                fstarts_s=None, fstarts_r=None,
+                                band_s=0, band_r=0, chunk=0)
+                    for st in dp.stages])
             return _dc.replace(pt, deep=dp)
         pt = self._add_halo_plan(pt, split_boundary=self.split,
                                  force_halo_size=self.halo_size,
@@ -496,8 +546,9 @@ class _GraphPlanner:
             if pt.fused_rel_s is not None else None)
         self.deep_static = None
         if pt.deep is not None:
-            d = pt.deep
-            self.deep_static = (d.rounds, d.band_s, d.band_r, d.chunk)
+            from mgn_tpu.parallel.spmd import deep_static_of
+
+            self.deep_static = deep_static_of(pt)
 
     def _invalidate(self):
         self.cache = BytesLRU(self.cache.cap)
@@ -509,11 +560,13 @@ class _GraphPlanner:
         stale cached plans, and bump ``generation`` so every graph-parallel
         loop rebuilds its compiled step (round-3 verdict weak item 2)."""
         if self.deep_rounds:
-            before = (self.d_halo, self.d_ebucket, self.d_next,
-                      self.d_band_s, self.d_band_r, self.try_deep_fused)
+            snap = lambda: (self.d_halo, self.d_ebucket, self.d_next,
+                            self.d_band_s, self.d_band_r,
+                            self.try_deep_fused, self.d_stage_fused,
+                            tuple(map(tuple, self.d_stage_caps or [])))
+            before = snap()
             self._fit_deep([(pt, aux)])
-            if (self.d_halo, self.d_ebucket, self.d_next, self.d_band_s,
-                    self.d_band_r, self.try_deep_fused) == before:
+            if snap() == before:
                 # no capacity grew yet planning failed: the fused bands are
                 # irreparable under forcing — drop to the XLA deep path so
                 # get()'s retry loop terminates instead of spinning

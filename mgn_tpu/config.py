@@ -91,6 +91,12 @@ class Args:
     # k (depth k single-segment, 2k-1 multi-segment) — tune down on meshes
     # where the k-ring rivals the part size.
     halo_rounds: Optional[int] = None
+    # telescoped deep segments: number of shrinking stages per deep segment
+    # (partition.TelescopeStage; None/1 = classic single-table segment).
+    # Rounds after each stage run on progressively smaller nested ghost
+    # tables — ~half the redundant ghost compute at zero extra communication
+    # (round-5 scaling item; measured stage overhead in SPMD_r05*.json).
+    telescope_stages: Optional[int] = None
     # cloth family: static world-edge buffer size.  None = auto from the
     # meta.json ``world_edges`` contract (capacity_per_node x padded nodes,
     # api_cloth._world_capacity); under graph parallelism each shard keeps

@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["FIXED_METHODS", "odeint_fixed", "odeint_tsit5_adaptive",
            "odeint_tsit5_bounded"]
@@ -50,7 +51,8 @@ def _rk4_step(f, y, t, dt):
 
 # Tsitouras 5(4) coefficients (the reference's default validation solver is
 # Tsit5, /root/reference/src/MeshGraphNets.jl:53).
-_TSIT5_C = jnp.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TSIT5_C = np.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0],
+                    np.float32)
 _TSIT5_A = [
     [],
     [0.161],
@@ -63,14 +65,14 @@ _TSIT5_A = [
     [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
      -3.290069515436081, 2.324710524099774],
 ]
-_TSIT5_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
-                      1.379008574103742, -3.290069515436081, 2.324710524099774,
-                      0.0])
+_TSIT5_B = np.array([0.09646076681806523, 0.01, 0.4798896504144996,
+                     1.379008574103742, -3.290069515436081, 2.324710524099774,
+                     0.0], np.float32)
 # embedded error weights (b - b_hat); they sum to ~0 (consistency)
-_TSIT5_BTILDE = jnp.array([-0.001780011052226, -0.000816434459657,
-                           0.007880878010262, -0.144711007173263,
-                           0.582357165452555, -0.458082105929187,
-                           1.0 / 66.0])
+_TSIT5_BTILDE = np.array([-0.001780011052226, -0.000816434459657,
+                          0.007880878010262, -0.144711007173263,
+                          0.582357165452555, -0.458082105929187,
+                          1.0 / 66.0], np.float32)
 
 
 def _tsit5_stages(f, y, t, dt):

@@ -1190,3 +1190,28 @@ def test_spmd_solver_step_deep_matches_single_device(strategy_kind):
                     jax.tree.leaves(st_sp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_spmd_telescope_train_eval(tmp_path):
+    """Telescoped deep segments through the FULL planner path
+    (Args.telescope_stages -> _GraphPlanner force_stages -> SpmdBatch
+    deep_stages -> apply_mgn_sharded_deep stages): training converges and
+    the sharded eval runs, matching the non-telescoped planner quality."""
+    import optax
+
+    from mgn_tpu import eval_network, train_network
+    from mgn_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=96, tl=16, n_train=2, n_valid=1,
+                            n_test=1)
+    kw = dict(mps=4, layer_size=16, hidden_layers=1, norm_steps=6,
+              solver_valid="euler", seed=0, num_rollouts=1,
+              graph_parallel=4, telescope_stages=2)
+    state, best = train_network(0.0, optax.adam(2e-3), d,
+                                str(tmp_path / "cp"), steps=30,
+                                checkpoint=15, **kw)
+    assert int(state.step) == 30 and np.isfinite(best)
+    reports = eval_network(d, str(tmp_path / "cp"), str(tmp_path / "out"),
+                           solver="euler", mse_steps=(3,), **kw)
+    assert np.isfinite(reports[0]["final_rmse"])
