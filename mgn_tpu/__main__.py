@@ -100,7 +100,7 @@ def main(argv=None):
     s = sub.add_parser("synth")
     s.add_argument("ds_path")
     s.add_argument("--family", default="cylinder",
-                   choices=["cylinder", "airfoil", "flag", "plate"])
+                   choices=["cylinder", "ns", "airfoil", "flag", "plate"])
     s.add_argument("--num-nodes", type=int, default=1900)
     s.add_argument("--tl", type=int, default=100)
     s.add_argument("--n-train", type=int, default=8)
@@ -122,6 +122,13 @@ def main(argv=None):
             S.write_synthetic_dataset(args.ds_path, num_nodes=args.num_nodes,
                                       tl=args.tl, n_train=args.n_train,
                                       n_valid=args.n_valid, n_test=args.n_test)
+        elif args.family == "ns":
+            # incompressible NS vortex shedding (offline projection solver)
+            from mgn_tpu.data.ns import write_ns_dataset
+
+            write_ns_dataset(args.ds_path, num_nodes=args.num_nodes,
+                             tl=args.tl, n_train=args.n_train,
+                             n_valid=args.n_valid, n_test=args.n_test)
         elif args.family == "airfoil":
             S.write_airfoil_dataset(args.ds_path, num_nodes=args.num_nodes,
                                     tl=args.tl, n_train=args.n_train,
