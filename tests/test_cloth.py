@@ -224,3 +224,32 @@ def test_cloth_unified_graph_parallel(tmp_path):
     assert np.isfinite(min_valid)
     reports = eval_network(d, cp, out, mse_steps=(5,), **kw)
     assert np.isfinite(reports[0]["final_rmse"])
+
+
+def test_cloth_unified_rejects_solver_strategies(tmp_path):
+    """Solver strategies don't apply to the second-order cloth family —
+    the unified entry point says so instead of failing deep in tracing."""
+    from mgn_tpu import train_network
+    from mgn_tpu.train.strategies import MultipleShooting
+
+    d = str(tmp_path / "ds")
+    write_flag_dataset(d, nx=5, ny=4, tl=10, n_train=1, n_valid=1, n_test=1)
+    with pytest.raises(ValueError, match="DerivativeTraining"):
+        train_network(0.0, optax.adam(1e-3), d, str(tmp_path / "cp"),
+                      training_strategy=MultipleShooting(0.0, 0.02, 0.1),
+                      steps=2, mps=1, layer_size=8)
+
+
+def test_cloth_world_capacity_resolution(tmp_path):
+    """World-edge buffer size: Args override > meta ``capacity`` > derived
+    capacity_per_node * padded nodes (floored at 512, 128-multiple)."""
+    from mgn_tpu.api_cloth import _world_capacity
+    from mgn_tpu.config import Args
+
+    meta = {"world_edges": {"radius": 0.05, "capacity_per_node": 4}}
+    assert _world_capacity(meta, Args(), node_bucket=128) == 512
+    assert _world_capacity(meta, Args(), node_bucket=512) == 2048
+    meta2 = {"world_edges": {"capacity": 777}}
+    assert _world_capacity(meta2, Args(), node_bucket=128) == 777
+    assert _world_capacity(meta, Args(world_capacity=4096),
+                           node_bucket=128) == 4096
