@@ -43,18 +43,28 @@ RESULT = os.path.join(HERE, "results",
                                      f"ACCURACY_{FAMILY}_r05.json"))
 TRAIN_LOG = os.path.join(WORK, "train_metrics.jsonl")
 
+def _env(name, default):
+    return int(os.environ.get(name, default))
+
+
 if FAMILY == "airfoil":
-    TL, N_TRAIN, N_VALID, N_TEST = 300, 32, 2, 4
-    MSE_STEPS = (50, 100, 299)
-    HYPERS = dict(mps=15, layer_size=128, hidden_layers=2, norm_steps=1000,
+    TL = _env("MGN_FAM_TL", 300)
+    N_TRAIN, N_VALID, N_TEST = _env("MGN_FAM_NTRAIN", 32), 2, 4
+    MSE_STEPS = tuple(s for s in (50, 100, TL - 1) if s < TL)
+    HYPERS = dict(mps=_env("MGN_FAM_MPS", 15),
+                  layer_size=_env("MGN_FAM_LATENT", 128), hidden_layers=2,
+                  norm_steps=_env("MGN_FAM_NORMSTEPS", 1000),
                   types_updated=(0, 5), types_noisy=(0,),
                   compute_dtype="bfloat16", solver_valid="euler")
     NOISE = (0.02, 0.002)  # per-target (velocity, density)
     TARGETS = ("velocity", "density")
 elif FAMILY == "plate":
-    TL, N_TRAIN, N_VALID, N_TEST = 100, 32, 2, 4
-    MSE_STEPS = (20, 50, 99)
-    HYPERS = dict(mps=15, layer_size=128, hidden_layers=2, norm_steps=1000,
+    TL = _env("MGN_FAM_TL", 100)
+    N_TRAIN, N_VALID, N_TEST = _env("MGN_FAM_NTRAIN", 32), 2, 4
+    MSE_STEPS = tuple(s for s in (20, 50, TL - 1) if s < TL)
+    HYPERS = dict(mps=_env("MGN_FAM_MPS", 15),
+                  layer_size=_env("MGN_FAM_LATENT", 128), hidden_layers=2,
+                  norm_steps=_env("MGN_FAM_NORMSTEPS", 1000),
                   types_updated=(0, 6), types_noisy=(0,),
                   types_inflow=(3,),  # handle nodes gt-forced during rollout
                   compute_dtype="bfloat16", solver_valid="euler")
@@ -71,7 +81,8 @@ def ensure_dataset(ds):
 
     print("writing dataset ...", flush=True)
     if FAMILY == "airfoil":
-        S.write_airfoil_dataset(ds, num_nodes=1900, tl=TL, n_train=N_TRAIN,
+        S.write_airfoil_dataset(ds, num_nodes=_env("MGN_FAM_NODES", 1900),
+                                tl=TL, n_train=N_TRAIN,
                                 n_valid=N_VALID, n_test=N_TEST, speed=0.83)
     else:
         S.write_plate_dataset(ds, dims=(14, 12, 8), tl=TL, n_train=N_TRAIN,
