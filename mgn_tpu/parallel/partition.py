@@ -617,13 +617,28 @@ def add_deep_halo_plan(
     local_of = pos - offsets[part_of]
     gid = part_of * n_p + local_of  # original id -> padded global id
 
-    # distance-to-owned-set per part: D sweeps of sender <- receiver+1
+    # distance-to-owned-set per part, capped at ``depth``
     big = np.iinfo(np.int32).max // 2
     dist = np.full((P, n), big, np.int32)
-    dist[part_of, np.arange(n)] = 0
-    for _ in range(depth):
+    try:
+        # multi-source BFS in C (scipy csgraph): ~two orders of magnitude
+        # faster than the Bellman-Ford sweeps at 1M nodes / 6M edges (the
+        # round-5 roofline-at-scale bottleneck); the edge list is
+        # bidirectional so direction is immaterial
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import dijkstra
+
+        adj = csr_matrix((np.ones(len(senders), np.int8),
+                          (senders, receivers)), shape=(n, n))
         for p in range(P):
-            np.minimum.at(dist[p], senders, dist[p][receivers] + 1)
+            d = dijkstra(adj, unweighted=True, min_only=True,
+                         indices=np.nonzero(part_of == p)[0], limit=depth)
+            dist[p] = np.where(np.isfinite(d), d, big).astype(np.int32)
+    except ImportError:  # pragma: no cover - scipy is baked in
+        dist[part_of, np.arange(n)] = 0
+        for _ in range(depth):
+            for p in range(P):
+                np.minimum.at(dist[p], senders, dist[p][receivers] + 1)
 
     # halo requests / serve lists (exchange structure of add_halo_plan, but
     # for every remote node within distance ``depth``)
