@@ -290,7 +290,7 @@ def main():
     }
     with open(RESULT, "w") as f:
         json.dump(result, f, indent=1)
-    print("ACCURACY_R04", json.dumps(result["eval"]["per_horizon"]), flush=True)
+    print("ACCURACY", json.dumps(result["eval"]["per_horizon"]), flush=True)
 
 
 if __name__ == "__main__":
