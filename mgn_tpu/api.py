@@ -1047,6 +1047,16 @@ def simulate(
 
     args = Args(**kwargs).resolve_auto()
     meta = load_meta(meta_dir)
+    from mgn_tpu.api_cloth import is_cloth_meta
+
+    if is_cloth_meta(meta):
+        raise ValueError(
+            "simulate() integrates first-order NeuralODE dynamics; the "
+            "cloth/world-edge family is second-order with a kinematic "
+            "handle drive — serve it via export_cloth_simulator / "
+            "load_simulator (two initial frames + handle drive baked into "
+            "the artifact) or evaluate via eval_network")
+
     state, model_cfg, spec = init_state(meta, args, optax.sgd(1.0))
     ckpt = CheckpointManager(cp_path)
     model = ckpt.restore_model(CheckpointManager.model_subtree(state),
