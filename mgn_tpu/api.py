@@ -451,6 +451,10 @@ class _GraphPlanner:
                     caps[0] = max(caps[0], st.n_ext)
                     caps[1] = max(caps[1], st.senders.shape[1])
         if not self.try_deep_fused:
+            # stage bands are never fitted on this path: strip stage fused
+            # plans too, else per-trajectory AUTO stage bands would diverge
+            # and the batched statics check would crash mid-training
+            self.d_stage_fused = False
             return
         # same VMEM-fit gate as the single-device fused path: oversized
         # extended tables drop to the XLA deep forward instead of dying in
@@ -462,6 +466,7 @@ class _GraphPlanner:
                                 mc.compute_dtype, bool(mc.fused_backward),
                                 mc.hidden_layers):
             self.try_deep_fused = False
+            self.d_stage_fused = False
             self.d_band_s = self.d_band_r = None
             return
         for pt, (pos, s, r) in parts_aux:
@@ -477,6 +482,7 @@ class _GraphPlanner:
                 dp = None
             if dp is None or dp.frel_s is None:
                 self.try_deep_fused = False
+                self.d_stage_fused = False
                 self.d_band_s = self.d_band_r = None
                 return
             self.d_band_s = max(self.d_band_s or 0, dp.band_s)
@@ -571,6 +577,7 @@ class _GraphPlanner:
                 # irreparable under forcing — drop to the XLA deep path so
                 # get()'s retry loop terminates instead of spinning
                 self.try_deep_fused = False
+                self.d_stage_fused = False
                 self.d_band_s = self.d_band_r = None
             self._invalidate()
             return
