@@ -1215,3 +1215,35 @@ def test_spmd_telescope_train_eval(tmp_path):
     reports = eval_network(d, str(tmp_path / "cp"), str(tmp_path / "out"),
                            solver="euler", mse_steps=(3,), **kw)
     assert np.isfinite(reports[0]["final_rmse"])
+
+
+def test_graph_planner_regrow_with_telescope(tmp_path):
+    """Capacity regrow under TELESCOPED deep segments: the 5th trajectory
+    exceeds the probed stage capacities; the planner must max-merge the
+    per-stage (n_ext, e_ext) caps, drop stale plans, rebuild the compiled
+    step, and complete training + a sharded validation sweep."""
+    import h5py
+    import optax
+
+    from mgn_tpu import train_network
+    from mgn_tpu.data.synthetic import (make_channel_mesh, make_trajectory,
+                                        write_synthetic_dataset)
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, num_nodes=96, tl=8, n_train=5, n_valid=1,
+                            n_test=1,
+                            num_nodes_per_traj=[96, 96, 96, 96, 320])
+    pos, cells, nt = make_channel_mesh(320, seed=0)
+    with h5py.File(f"{d}/valid.h5", "w") as f:
+        g = f.require_group("0")
+        for k in list(g.keys()):
+            del g[k]
+        g["cells"], g["mesh_pos"], g["node_type"] = cells, pos, nt[:, None]
+        g["velocity"] = make_trajectory(pos, nt, 8, 0.01, seed=9)
+
+    state, best = train_network(
+        0.01, optax.adam(1e-3), d, str(tmp_path / "cp"),
+        mps=2, layer_size=16, hidden_layers=1, norm_steps=2, steps=40,
+        checkpoint=30, graph_parallel=4, telescope_stages=2,
+        solver_valid="euler", seed=0)
+    assert int(state.step) == 40 and np.isfinite(best)
